@@ -1,0 +1,67 @@
+"""Canonicalization stage: rewrite IRI objects, drop bad triples, emit
+owl:sameAs alias edges.
+
+All JVM-side Catalyst expressions (one WholeStageCodegen span over the
+extraction output — no shuffle, no Python):
+
+* IRI objects run through the alias-resolution rule chain
+  (:func:`..functions.uri.canonicalize_col` — the reference's normalize
+  sed dictionary, JACQ.sh:359-375, 833-845),
+* empty-literal triples dropped (P4 — JACQ.sh:360),
+* technical ``?format=`` mentions dropped (P5 — Finland.sh:422-428),
+* where the rewrite changed the IRI, an ``(alias, owl:sameAs, canonical)``
+  triple is emitted — the edge set the connected-components stage
+  consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.extraction_rules import OWL_SAMEAS
+from ..functions.uri import canonicalize_col
+
+TECHNICAL_URL = r"[?&]format="
+
+
+def canonicalize_triples(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (canonical_triples, sameas_triples); both keep ``conv_id``.
+
+    canonical_triples: input triples with IRI objects rewritten, drops
+    applied. sameas_triples: one triple per (conv, alias→canonical) pair
+    where the rewrite changed something.
+    """
+    with_canon = raw.withColumn(
+        "obj_canon",
+        F.when(F.col("obj_is_iri"), canonicalize_col(F.col("obj"))).otherwise(F.col("obj")),
+    )
+
+    kept = (
+        with_canon
+        # P4: empty-literal drop
+        .filter(F.col("obj_is_iri") | (F.col("obj") != ""))
+        # P5: technical-URL mention drop (record-level in the reference —
+        # the subject there is the specimen URI, i.e. our entity; dropping
+        # the mention means the entity never exists downstream)
+        .filter(~(F.col("obj_is_iri") & F.col("obj_canon").rlike(TECHNICAL_URL)))
+    )
+
+    canonical = kept.select(
+        "conv_id", "subj", "pred",
+        F.col("obj_canon").alias("obj"), "obj_is_iri",
+    )
+
+    sameas = (
+        with_canon
+        .filter(F.col("obj_is_iri") & (F.col("obj") != F.col("obj_canon"))
+                & ~F.col("obj_canon").rlike(TECHNICAL_URL))
+        .select(
+            "conv_id",
+            F.col("obj").alias("subj"),
+            F.lit(OWL_SAMEAS).alias("pred"),
+            F.col("obj_canon").alias("obj"),
+            F.lit(True).alias("obj_is_iri"),
+        )
+    )
+    return canonical, sameas

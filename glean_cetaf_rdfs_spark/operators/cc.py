@@ -1,0 +1,86 @@
+"""Connected components over the alias/link edge graph — canonical-ID
+resolution by union-find, as iterative DataFrame joins.
+
+The reference collapses alias spellings to one canonical URI with ordered
+sed rewrites (JACQ.sh:362-367); at engine scale the alias graph is data
+(owl:sameAs edges from the canonicalize stage, seeded alias fixtures), so
+canonicalization becomes connected components: every member of a component
+maps to the component's lexicographic minimum.
+
+Algorithm: the alternating large-star / small-star method of Kiveris et
+al., "Connected Components in MapReduce and Beyond" (SOCC'14) — public
+algorithm, implemented here directly on DataFrames:
+
+* large-star: each node links its *larger* neighbors to its minimum
+  neighbor (or itself),
+* small-star: each node links its *smaller-or-equal* neighbors to the
+  overall minimum.
+
+Converges in O(log²) rounds; every round is two hash aggregations + a
+join, all on the (shrinking) edge set. ``localCheckpoint`` truncates the
+lineage each round so the plan doesn't grow exponentially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dedup(e: DataFrame) -> DataFrame:
+    return e.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (sym.groupBy("src").agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", F.col("src")).alias("m")))
+    return (sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    directed = e.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    )
+    mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (directed.join(mins, "src")
+              .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+    self_link = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return relink.unionByName(self_link)
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-independent, overflow-free (ANSI-safe) set fingerprint;
+    # the edge set is distinct so xor cancellation can't collide dup rows
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h")).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(src, dst) → (member, canonical) with canonical = component min.
+
+    Raises if not converged within ``max_iter`` rounds (the reference's
+    fixpoint sed loops get the same bounded-iteration treatment,
+    SURVEY.md §7 "fixpoint encoders").
+    """
+    e = _dedup(edges).localCheckpoint()
+    prev = _signature(e)
+    for _ in range(max_iter):
+        e = _dedup(_small_star(_large_star(e))).localCheckpoint()
+        sig = _signature(e)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    # converged edge set is a star forest: (member → root). Roots map to
+    # themselves so every component member appears exactly once.
+    members = e.select(F.col("src").alias("member"), F.col("dst").alias("canonical"))
+    roots = e.select(F.col("dst").alias("member"),
+                     F.col("dst").alias("canonical")).distinct()
+    return members.unionByName(roots).distinct()

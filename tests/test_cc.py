@@ -1,0 +1,60 @@
+"""Connected-components tests (FIXTURES.md §4): chains, a hot star
+(skew fixture), 2-node islands — verified against a plain union-find."""
+
+from __future__ import annotations
+
+import random
+
+from glean_cetaf_rdfs_spark.operators.cc import connected_components
+
+
+def _union_find(edges):
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = lexicographic min of component
+    comps: dict[str, set[str]] = {}
+    for n in list(parent):
+        comps.setdefault(find(n), set()).add(n)
+    return {n: min(members | {root}) for root, members in comps.items() for n in members}
+
+
+def _fixture_edges():
+    rnd = random.Random(7)
+    edges = []
+    # chains a→b→c (length 2..6)
+    for i in range(20):
+        chain = [f"chain{i:02d}-n{j}" for j in range(2 + i % 5)]
+        edges += list(zip(chain, chain[1:]))
+    # hot star: one entity with 1000 aliases (skew)
+    edges += [("hub", f"alias-{k:04d}") for k in range(1000)]
+    # 2-node islands
+    edges += [(f"isl{i}-a", f"isl{i}-b") for i in range(30)]
+    # a few duplicate + reversed edges for dedup/symmetry handling
+    edges += [(b, a) for a, b in edges[:15]]
+    rnd.shuffle(edges)
+    return edges
+
+
+def test_cc_matches_union_find(spark):
+    edges = _fixture_edges()
+    want = _union_find(edges)
+    df = spark.createDataFrame(edges, schema="src string, dst string")
+    got = {r["member"]: r["canonical"] for r in connected_components(df).collect()}
+    assert got == want
+
+
+def test_cc_idempotent_on_star_output(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], schema="src string, dst string")
+    got = {r["member"]: r["canonical"] for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
