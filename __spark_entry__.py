@@ -22,6 +22,26 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from glean_cetaf_rdfs_spark.queries import RELATIONAL_QUERIES  # noqa: E402
+from glean_cetaf_rdfs_spark.queries_data import DATA_QUERIES  # noqa: E402
+
+_KG_SCALE = {"sf0.001": 60, "sf0.01": 400, "sf0.1": 2500}
+
+
+def _kg_pipeline_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship KG pipeline (rows-only: transcripts aren't DuckDB views;
+    exactness is pytest-asserted against the pure-Python oracle): run the
+    full extract→canonicalize→link→enrich→dedupe plan over deterministic
+    synthetic transcripts sized to the sf, count triples per predicate."""
+    from glean_cetaf_rdfs_spark.data.synthetic import transcripts_df
+    from glean_cetaf_rdfs_spark.plans.pipeline import build_triples
+
+    n = 200
+    for key, scale in _KG_SCALE.items():
+        if sf_dir.rstrip("/").endswith(key):
+            n = scale
+    triples = build_triples(transcripts_df(spark, n))
+    return (triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n_triples"))
+            .orderBy("pred"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -44,11 +64,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, (fn, _sql) in RELATIONAL_QUERIES.items():
-        out[name] = fn
+    for reg in (RELATIONAL_QUERIES, DATA_QUERIES):
+        for name, (fn, _sql) in reg.items():
+            out[name] = fn
+    out["q32_kg_pipeline_predicates"] = _kg_pipeline_predicates
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in RELATIONAL_QUERIES.items()
-            if sql is not None}
+    out: dict[str, str] = {}
+    for reg in (RELATIONAL_QUERIES, DATA_QUERIES):
+        for name, (_fn, sql) in reg.items():
+            if sql is not None:
+                out[name] = sql
+    return out

@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: kg_triples, kg_triples_per_sec (the north-rule throughput
+number measured over the KG pipeline leg), rows per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: one per operator family that matters at scale; the
+# quadratic exact-pair baselines (q18/q21) are correctness-gate-only.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_status_histogram",
+    "q06_done_anti_join",
+    "q07_broadcast_lookup_join",
+    "q10_topk_per_group",
+    "q16_sessionize",
+    "q17_dedup_exact",
+    "q19_minhash_lsh",
+    "q22_cosine_topk",
+    "q23_lsh_bucket_histogram",
+    "q25_token_count",
+    "q28_fingerprint",
+    "q30_multimodal_metadata",
+    "q32_kg_pipeline_predicates",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from glean_cetaf_rdfs_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    qs = entrymod.queries()
+
+    # warm the JVM/codegen paths once with the cheapest query
+    qs["q03_status_histogram"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        out = qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = len(out)
+
+    # KG throughput: triples/sec over the pipeline leg (north-rule metric)
+    kg_triples = None
+    if "q32_kg_pipeline_predicates" in rows:
+        from glean_cetaf_rdfs_spark.data.synthetic import transcripts_df
+        from glean_cetaf_rdfs_spark.plans.pipeline import build_triples
+
+        n_convs = {"sf0.001": 60, "sf0.01": 400, "sf0.1": 2500}.get(
+            Path(SF_DIR).name, 400)
+        t0 = time.perf_counter()
+        kg_triples = build_triples(transcripts_df(spark, n_convs)).count()
+        kg_sec = time.perf_counter() - t0
+        timings["kg_pipeline_count"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = Path(SF_DIR).name.replace("sf", "")
+    result = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": rows,
+        "cpus": int(CPUS),
+    }
+    if kg_triples is not None:
+        result["kg_triples"] = kg_triples
+        result["kg_triples_per_sec"] = round(kg_triples / timings["kg_pipeline_count"], 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,7 +80,13 @@ def url_domain_py(url: str) -> str | None:
 
 
 def url_domain_col(col: Column) -> Column:
-    return F.regexp_extract(col, r"^https?://([^/:]+)", 1)
+    """Host of a URL column. substring_index char scans instead of a
+    regex — this runs per-row in the widest stages (graph assignment,
+    link keys) and the regex version measurably dominated their CPU.
+    Equivalent to ``url_domain_py`` for http(s) URLs (the only inputs
+    it ever sees: subjects and IRI objects)."""
+    after_scheme = F.substring_index(col, "://", -1)
+    return F.substring_index(F.substring_index(after_scheme, "/", 1), ":", 1)
 
 
 def match_keys_py(url: str, max_path_segs: int = 3) -> list[str]:

@@ -25,17 +25,27 @@ from ..functions.uri import canonicalize_col
 TECHNICAL_URL = r"[?&]format="
 
 
-def canonicalize_triples(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Returns (canonical_triples, sameas_triples); both keep ``conv_id``.
-
-    canonical_triples: input triples with IRI objects rewritten, drops
-    applied. sameas_triples: one triple per (conv, alias→canonical) pair
-    where the rewrite changed something.
-    """
-    with_canon = raw.withColumn(
+def annotate_canonical(raw: DataFrame) -> DataFrame:
+    """raw triples + ``obj_canon`` column (the rewritten IRI, or the
+    literal unchanged). This is THE regexp pass — materialize its output
+    before fanning out so the 12-rule chain runs exactly once per row;
+    re-executing it per downstream branch was the pipeline's top CPU
+    sink (measured 2.2k CPU-seconds at 310k-turn scale)."""
+    return raw.withColumn(
         "obj_canon",
         F.when(F.col("obj_is_iri"), canonicalize_col(F.col("obj"))).otherwise(F.col("obj")),
+    ).withColumn(
+        # P5 flag precomputed here for the same reason — every downstream
+        # branch filters on it; one rlike instead of one per branch
+        "is_technical",
+        F.col("obj_is_iri") & F.col("obj_canon").rlike(TECHNICAL_URL),
     )
+
+
+def split_canonical(with_canon: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(canonical_triples, sameas_triples) from an annotated frame —
+    filters and renames only, no regexp re-execution (the technical-URL
+    drop is the one remaining rlike)."""
 
     kept = (
         with_canon
@@ -44,7 +54,7 @@ def canonicalize_triples(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         # P5: technical-URL mention drop (record-level in the reference —
         # the subject there is the specimen URI, i.e. our entity; dropping
         # the mention means the entity never exists downstream)
-        .filter(~(F.col("obj_is_iri") & F.col("obj_canon").rlike(TECHNICAL_URL)))
+        .filter(~F.col("is_technical"))
     )
 
     canonical = kept.select(
@@ -55,7 +65,7 @@ def canonicalize_triples(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     sameas = (
         with_canon
         .filter(F.col("obj_is_iri") & (F.col("obj") != F.col("obj_canon"))
-                & ~F.col("obj_canon").rlike(TECHNICAL_URL))
+                & ~F.col("is_technical"))
         .select(
             "conv_id",
             F.col("obj").alias("subj"),
@@ -65,3 +75,10 @@ def canonicalize_triples(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
     )
     return canonical, sameas
+
+
+def canonicalize_triples(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One-shot convenience: annotate + split (used by the streaming path
+    and tests; the batch pipeline materializes the annotated frame
+    between the two steps)."""
+    return split_canonical(annotate_canonical(raw))

@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — all expressed over DataFrames so they scale by partitioning:
+
+* exact: one hash-groupBy (map-side partial agg, single shuffle),
+* n-gram Jaccard: shingle explode → self-join on shingle → pair agg;
+  at web scale the shingle join is the skew point — ``max_doc_freq``
+  drops stop-shingles (the standard trick) and AQE skew-join handles the
+  rest,
+* MinHash+LSH: portable md5-string minhash (identical in any engine),
+  banded signature → bucket self-join → exact-Jaccard verification of
+  candidates only — the classic blocking structure the north rule asks
+  for (minhash/LSH blocking + vectorized scoring),
+* SimHash: 64-bit token-hash sign aggregation, hamming-close pairs,
+* embedding cosine: exact pairwise above a threshold (the LSH-bucketed
+  variant for scale lives in similarity.py).
+
+Everything below is pure DataFrame/SQL ops — no Python UDFs at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Exact dedup by content hash: → (content_key, keep_id, n_copies).
+    keep_id = min id per group (deterministic survivor pick)."""
+    return (df.groupBy(F.md5(key).alias("content_key"))
+            .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: → (id, shingle)."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return (df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                        threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact pairwise Jaccard over word n-gram shingle sets:
+    → (id_a, id_b, jaccard) for pairs ≥ threshold, id_a < id_b.
+
+    ``max_doc_freq`` (scale knob): drop shingles present in more than
+    this many docs before the self-join — they generate O(df²) candidate
+    rows but cannot push Jaccard of dissimilar docs over a high
+    threshold. None = exact (used for the oracle-checked query).
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common")
+                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, k: int = 8) -> DataFrame:
+    """Portable minhash: h_i(shingle) = md5(i || '|' || shingle), signature
+    component i = lexicographic min over the doc's shingles. md5-string
+    minima are engine-independent (same result in Spark, DuckDB, Python).
+    → (id, i, minh)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    # all k hashes in one projection (array + posexplode) — no crossJoin,
+    # one pass over the shingle stream
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.md5(F.concat_ws("|", i.cast("string"), F.col("shingle"))))
+    return (sh.select("id", F.posexplode(hashes).alias("i", "h"))
+            .groupBy("id", "i").agg(F.min("h").alias("minh")))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                      k: int = 8, bands: int = 4,
+                      verify_threshold: float = 0.5) -> DataFrame:
+    """MinHash + banded LSH blocking + exact-Jaccard verification.
+
+    signature → ``bands`` bands of k/bands rows; docs sharing any band
+    bucket become candidates; candidates are verified with exact Jaccard
+    (computed only on the candidate set — the vectorized-scoring step).
+    → (id_a, id_b, jaccard).
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    banded = (sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+              .groupBy("id", "band")
+              .agg(F.concat_ws(",", F.array_sort(F.collect_list(
+                  F.concat_ws(":", F.col("i").cast("string"), "minh")))).alias("band_sig")))
+    ca = banded.select(F.col("id").alias("id_a"), "band", "band_sig")
+    cb = banded.select(F.col("id").alias("id_b"), "band", "band_sig")
+    cands = (ca.join(cb, ["band", "band_sig"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (cands.join(a, "id_a").join(b, ["id_b", "shingle"])
+              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common")
+                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+            .filter(F.col("jaccard") >= verify_threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens: token hash = xxhash64, bit k of
+    the fingerprint = sign of Σ_tokens (2·bit_k(h) − 1). → (id, simhash).
+
+    Engine-specific hash (xxhash64) — exactness is asserted against a
+    Python golden in tests, not a SQL oracle."""
+    tok = (df.select(F.col(id_col).alias("id"),
+                     F.explode(F.split(F.col(text_col), " ")).alias("w"))
+           .filter(F.col("w") != "")
+           .withColumn("h", F.xxhash64("w")))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        contrib = F.shiftleft(bit.cast("long"), b)
+        fp = contrib if fp is None else fp.bitwiseXOR(contrib)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3,
+                       n_chunks: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, blocked
+    on bit chunks: a pair within distance d shares at least one of
+    ``n_chunks`` chunks whenever ``n_chunks > d`` (pigeonhole), so the
+    self-join runs on chunk buckets, never a full cross product.
+    n_chunks defaults to max_hamming+1 (capped at 8 — narrower chunks
+    make buckets too coarse and the join quadratic again; for larger
+    distances recall becomes probabilistic). → (id_a, id_b, hamming)."""
+    if n_chunks is None:
+        n_chunks = min(8, max_hamming + 1)
+    width = 64 // n_chunks
+    sh = simhash64(df, id_col, text_col)
+    chunk_structs = []
+    for c in range(n_chunks):
+        w = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
+        mask = (1 << w) - 1 if w < 64 else -1  # -1 = all 64 bits (JVM long)
+        chunk_structs.append(F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("simhash"), width * c)
+            .bitwiseAND(F.lit(mask)).alias("v")))
+    chunks = sh.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("ch"),
+    ).select("id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "c", "v")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "c", "v")
+    return (a.join(b, ["c", "v"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def embedding_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
+                           threshold: float = 0.95) -> DataFrame:
+    """Exact pairwise cosine near-dup over an array<float/double> column:
+    → (id_a, id_b, cos). Quadratic — the scale path is
+    similarity.lsh_bucket_topk; this exact form is the verification/oracle
+    baseline."""
+    withn = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                           lambda acc, x: acc + x.cast("double") * x.cast("double")))
+        .alias("nrm"),
+    )
+    a = withn.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = withn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))

@@ -12,73 +12,70 @@ Net semantics (SURVEY.md §2.4): output = canonicalized triples − drops
                                                   (JACQ.sh:444-445; wikidata JACQ.sh:823-829)
 * G4 ``dcterms:hasPart <wikidata|viaf root>`` on turns whose mentions point
   into wikidata/viaf                              (JACQ.sh:446-447)
-* G5 ``dcterms:publisher <IRI>``                  (JACQ.sh:626-627, 776-777)
+* G5 ``dcterms:publisher <IRIs>``                 (JACQ.sh:626-627, 776-777)
 
-All inputs to this stage are small relative to the triple stream (linked
-entities, flag sets); the only joins are on ``entity`` and are
-AQE-managed. No window functions needed — the sibling-triple conditions
-(G2, G4) are anti-join / semi-join shaped.
+Shape: ONE conditional-array generate + explode per input frame — a
+single narrow pass over the (small) link table plus a single narrow pass
+over the mention stream, one left join for the Event flag. Earlier
+versions used 8 separate select/join branches; at 36k-turn scale that
+cost 20s in stage overhead vs ~2s for this form, and at cluster scale it
+multiplies scans of the triple stream. Duplicate generated rows are NOT
+deduped here — materialize's dropDuplicates is the single dedupe point
+(mirrors the reference's one duplicate-removal step, JACQ.sh:441).
 """
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..data import vocab as V
 from ..functions.uri import url_domain_col
 
+_TRIPLE_STRUCT = ["subj", "pred", "obj"]
 
-def _gen(df: DataFrame, subj_col: str, pred: str, obj_col) -> DataFrame:
-    return df.select(
-        F.col(subj_col).alias("subj"),
-        F.lit(pred).alias("pred"),
-        obj_col.alias("obj"),
-        F.lit(True).alias("obj_is_iri"),
-    )
+
+def _triple(subj: Column, pred: str, obj: Column) -> Column:
+    return F.struct(subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"))
+
+
+def _explode_triples(df: DataFrame, arr: Column) -> DataFrame:
+    return (df.select(F.explode(F.filter(arr, lambda t: t.isNotNull())).alias("t"))
+            .select(F.col("t.subj").alias("subj"), F.col("t.pred").alias("pred"),
+                    F.col("t.obj").alias("obj"), F.lit(True).alias("obj_is_iri")))
 
 
 def enrich_triples(triples: DataFrame, links: DataFrame,
                    event_ents: DataFrame) -> DataFrame:
-    """→ generated (subj, pred, obj, obj_is_iri) rows (no conv_id —
-    entity-level facts span conversations)."""
-    links = links.cache()
+    """→ generated (subj, pred, obj, obj_is_iri) rows (duplicates allowed;
+    deduped once at materialization)."""
+    ent = F.col("entity")
+    flagged = links.join(
+        event_ents.select("entity", F.lit(True).alias("is_event")),
+        "entity", "left")
+    ent_arr = F.array(
+        F.when(F.col("canonical_id").isNotNull(),
+               _triple(ent, V.P_INSTITUTION_ID, F.col("canonical_id"))),
+        F.when(F.col("add_conforms_to") & F.col("is_event").isNull(),
+               _triple(ent, V.P_CONFORMS_TO, F.lit(V.O_CSPP))),
+        F.when(F.col("umbrella").isNotNull(),
+               _triple(ent, V.P_IS_PART_OF, F.col("umbrella"))),
+        _triple(ent, V.P_IS_PART_OF,
+                F.concat(F.lit("http://"), url_domain_col(ent))),
+        F.when(F.col("publisher").isNotNull(),
+               _triple(ent, V.P_PUBLISHER, F.col("publisher"))),
+    )
+    from_links = _explode_triples(flagged, ent_arr)
 
-    parts: list[DataFrame] = []
+    mentions = (triples.filter(F.col("pred") == V.P_MENTIONS)
+                .select(F.col("subj").alias("turn"), F.col("obj").alias("ent")))
+    is_wd = F.col("ent").startswith(V.O_WIKIDATA_ROOT)
+    is_viaf = F.col("ent").startswith(V.O_VIAF_ROOT)
+    mention_arr = F.array(
+        F.when(is_wd, _triple(F.col("ent"), V.P_IS_PART_OF, F.lit(V.O_WIKIDATA_ROOT))),
+        F.when(is_wd, _triple(F.col("turn"), V.P_HAS_PART, F.lit(V.O_WIKIDATA_ROOT))),
+        F.when(is_viaf, _triple(F.col("turn"), V.P_HAS_PART, F.lit(V.O_VIAF_ROOT))),
+    )
+    from_mentions = _explode_triples(mentions, mention_arr)
 
-    # G1: institution id
-    parts.append(_gen(links.filter(F.col("canonical_id").isNotNull()),
-                      "entity", V.P_INSTITUTION_ID, F.col("canonical_id")))
-
-    # G2: conformsTo CSPP unless Event-typed (left anti on the flag set)
-    conforms = (links.filter(F.col("add_conforms_to"))
-                .join(event_ents, "entity", "left_anti"))
-    parts.append(_gen(conforms, "entity", V.P_CONFORMS_TO, F.lit(V.O_CSPP)))
-
-    # G3: isPartOf umbrella + isPartOf http://<domain>
-    parts.append(_gen(links.filter(F.col("umbrella").isNotNull()),
-                      "entity", V.P_IS_PART_OF, F.col("umbrella")))
-    parts.append(_gen(links, "entity", V.P_IS_PART_OF,
-                      F.concat(F.lit("http://"), url_domain_col(F.col("entity")))))
-
-    # G3-wikidata: mentioned wikidata entities belong to the wikidata graph
-    wd_entities = (triples
-                   .filter((F.col("pred") == V.P_MENTIONS)
-                           & F.col("obj").startswith(V.O_WIKIDATA_ROOT))
-                   .select(F.col("obj").alias("entity")).distinct())
-    parts.append(_gen(wd_entities, "entity", V.P_IS_PART_OF, F.lit(V.O_WIKIDATA_ROOT)))
-
-    # G4: turns that mention wikidata/viaf get a hasPart back-link
-    for root in (V.O_WIKIDATA_ROOT, V.O_VIAF_ROOT):
-        turns = (triples
-                 .filter((F.col("pred") == V.P_MENTIONS) & F.col("obj").startswith(root))
-                 .select(F.col("subj").alias("turn")).distinct())
-        parts.append(_gen(turns, "turn", V.P_HAS_PART, F.lit(root)))
-
-    # G5: publisher
-    parts.append(_gen(links.filter(F.col("publisher").isNotNull()),
-                      "entity", V.P_PUBLISHER, F.col("publisher")))
-
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    return from_links.unionByName(from_mentions)

@@ -1,0 +1,129 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All built-in-function expressions (JVM codegen)
+except the rolling-hash winnowing fingerprint, which is the designated
+Arrow-batched pandas stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic —
+# deterministic data, good enough to discriminate synthetic fixtures
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "una", "y"],
+}
+
+
+def tokens(text_col) -> Column:
+    return F.filter(F.split(text_col, " "), lambda w: w != "")
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (ceil(chars/4) — the standard chars-per-token heuristic)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.ceil(F.length(text_col) / 4).cast("int").alias("n_subwords_est"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features and a
+    composite score — the standard cheap pre-training quality gate."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop = F.size(F.filter(toks, lambda w: w.isin(*LANG_PROFILES["en"])))
+    n_chars = F.length(text_col)
+    punct = n_chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1)), 4).alias("avg_token_len"),
+        F.round(stop / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language ID: per language, count profile-word hits
+    among tokens; argmax wins (deterministic tiebreak by language code);
+    no hits → 'und'. → (id, lang_pred)."""
+    toks = tokens(F.col(text_col))
+
+    def score(words: list[str]):
+        # factory closure — a default-arg lambda would change the
+        # higher-order function's arity for PySpark
+        return F.size(F.filter(toks, lambda w: w.isin(*words)))
+
+    scores = [score(words).alias(f"s_{lang}")
+              for lang, words in sorted(LANG_PROFILES.items())]
+    scored = df.select(F.col(id_col).alias("id"), *scores)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_PROFILES)])
+    pred = F.lit("und")
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        pred = F.when((F.col(f"s_{lang}") == best) & (best > 0), lang).otherwise(pred)
+    return scored.select("id", pred.alias("lang_pred"))
+
+
+def md5_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized content fingerprint: lowercase, strip non-alnum/space,
+    collapse whitespace, md5. → (id, fp)."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", ""),
+        r" +", " ")
+    return df.select(F.col(id_col).alias("id"), F.md5(F.trim(norm)).alias("fp"))
+
+
+# --- rolling-hash winnowing fingerprint (pandas/Arrow stage) ---------------
+
+_B, _M, _WIN, _GRAM = 257, (1 << 61) - 1, 8, 16
+
+
+def winnow_py(text: str) -> list[int]:
+    """Karp-Rabin rolling hash over char 16-grams + winnowing (window
+    minimum) — the classic document-fingerprint scheme (Schleimer et al.,
+    SIGMOD'03). Pure function; used by the UDF and the tests."""
+    n = len(text)
+    if n < _GRAM:
+        return []
+    hashes = []
+    h = 0
+    pw = pow(_B, _GRAM - 1, _M)
+    for i, ch in enumerate(text):
+        h = (h * _B + ord(ch)) % _M
+        if i >= _GRAM:
+            h = (h - ord(text[i - _GRAM]) * pw * _B) % _M
+        if i >= _GRAM - 1:
+            hashes.append(h)
+    out = []
+    prev = None
+    for w in range(0, max(1, len(hashes) - _WIN + 1)):
+        m = min(hashes[w : w + _WIN])
+        if m != prev:
+            out.append(m)
+            prev = m
+    return out
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (id, fps array<long>) via mapInPandas (Arrow batches)."""
+    cols = [id_col, text_col]
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "fps": pdf[text_col].map(lambda t: winnow_py(t or "")),
+            })
+
+    return df.select(*cols).mapInPandas(run, schema="id long, fps array<long>")

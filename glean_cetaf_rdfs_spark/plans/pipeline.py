@@ -18,7 +18,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.canonicalize import canonicalize_triples
+from ..operators.canonicalize import (
+    annotate_canonical,
+    canonicalize_triples,
+    split_canonical,
+)
 from ..operators.cc import connected_components
 from ..operators.enrich import enrich_triples
 from ..operators.extract import extract_triples
@@ -26,10 +30,42 @@ from ..operators.link import event_entities, link_entities
 from ..operators.materialize import finalize_triples
 
 
-def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None) -> DataFrame:
-    """Lazy plan for the final deduped (graph, subj, pred, obj, obj_is_iri)."""
-    raw = extract_triples(transcripts)
-    canonical, sameas = canonicalize_triples(raw)
+def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None,
+                  intermediate: str = "parquet",
+                  temp_dir: str | None = None) -> DataFrame:
+    """Plan for the final deduped (graph, subj, pred, obj, obj_is_iri).
+
+    The extraction output fans out to ~8 consumers (canonical stream,
+    sameAs edges, linking, event flags, wikidata/viaf flags). How the
+    fan-out point is materialized matters:
+
+    * ``intermediate="parquet"`` (default): write the canonicalize-
+      annotated triple stage (raw + obj_canon) to scratch storage and
+      read it back — the pandas extraction AND the 12-rule regexp chain
+      each run exactly once, and every branch scans columnar files in
+      parallel. This is also the cluster-scale pattern (stage tables
+      between pipeline phases). Measured alternatives: BlockManager
+      ``persist`` serializes under 32-thread contention (2.5x wall), and
+      no materialization re-runs extraction + regexps per branch (the
+      regexp chain re-execution was the top CPU sink: 2.2k CPU-seconds
+      at 310k-turn scale).
+    * ``intermediate="persist"``: Dataset cache (MEMORY_AND_DISK).
+    * ``intermediate="none"``: fully lazy — recomputed per branch.
+    """
+    annotated = annotate_canonical(extract_triples(transcripts))
+    if intermediate == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
+    elif intermediate == "parquet":
+        import uuid
+
+        from ..session import _scratch_dir
+
+        path = f"{temp_dir or _scratch_dir()}/kg_canon_{uuid.uuid4().hex}"
+        annotated.write.mode("overwrite").parquet(path)
+        annotated = transcripts.sparkSession.read.parquet(path)
+    canonical, sameas = split_canonical(annotated)
     spo = canonical.select("subj", "pred", "obj", "obj_is_iri")
     links = link_entities(spo, dict_df)
     events = event_entities(spo)

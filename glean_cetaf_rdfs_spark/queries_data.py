@@ -1,0 +1,337 @@
+"""Driver-contract queries for the training-data operators (dedup,
+similarity search, text analysis, multimodal) — each a thin adapter over
+the package operator plus a DuckDB oracle where the semantics are
+SQL-expressible. Engine-specific-hash ops (simhash/xxhash64, winnowing)
+are rows-only here and golden-tested in pytest instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedupe as D
+from .operators import multimodal as MM
+from .operators import similarity as S
+from .operators import textops as T
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# shared SQL fragment: distinct word 3-gram shingles per doc
+_SQL_SHINGLES = """
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id AS id,
+              unnest([array_to_string(ws[i:i+2], ' ')
+                      for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS shingle
+       FROM words)
+"""
+
+
+# --- dedup family -----------------------------------------------------------
+
+def q17_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy): survivor + copy count.
+    Keyed on a normalized prefix so the fixture produces real groups."""
+    return (D.exact_dedup_groups(_docs(spark, sf_dir), "doc_id",
+                                 F.substring(F.lower(F.col("text")), 1, 40))
+            .orderBy("content_key"))
+
+
+SQL_Q17 = """
+SELECT md5(substr(lower(text), 1, 40)) AS content_key,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY content_key
+"""
+
+
+def q18_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.2)."""
+    return (D.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                  n=3, threshold=0.2)
+            .orderBy("id_a", "id_b"))
+
+
+SQL_Q18 = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+           GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+def q19_minhash_lsh(spark, sf_dir):
+    """MinHash (md5-portable) + banded LSH blocking + exact-Jaccard
+    verification of candidates (threshold 0.2)."""
+    return (D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                n=3, k=8, bands=4, verify_threshold=0.2)
+            .orderBy("id_a", "id_b"))
+
+
+SQL_Q19 = f"""
+WITH {_SQL_SHINGLES},
+hs AS (SELECT unnest(range(0, 8)) AS i),
+sig AS (SELECT id, i,
+               min(md5(concat(CAST(i AS VARCHAR), '|', shingle))) AS minh
+        FROM sh, hs GROUP BY id, i),
+banded AS (SELECT id, CAST(i // 2 AS INT) AS band,
+                  string_agg(concat(CAST(i AS VARCHAR), ':', minh), ','
+                             ORDER BY concat(CAST(i AS VARCHAR), ':', minh)) AS band_sig
+           FROM sig GROUP BY id, band),
+cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+common AS (SELECT c.id_a, c.id_b, count(*) AS n_common
+           FROM cands c
+           JOIN sh a ON a.id = c.id_a
+           JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+           GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+def q20_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64 — engine-specific, rows-only;
+    exactness golden-tested in pytest)."""
+    return (D.simhash_near_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                 max_hamming=16)
+            .orderBy("id_a", "id_b"))
+
+
+def q21_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact pairwise baseline)."""
+    return (D.embedding_cosine_pairs(_embs(spark, sf_dir), "vec_id", "embedding",
+                                     threshold=0.9)
+            .orderBy("id_a", "id_b"))
+
+
+SQL_Q21 = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding)
+      / (sqrt(list_dot_product(a.embedding, a.embedding))
+         * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (_embs(spark, sf_dir).filter(F.col("vec_id") == 0)
+           .select("embedding").first())
+    return [float(x) for x in row["embedding"]]
+
+
+def q22_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (query = vector 0)."""
+    return S.cosine_topk(_embs(spark, sf_dir), "vec_id", "embedding",
+                         _query_vec(spark, sf_dir), k=10)
+
+
+SQL_Q22 = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id AS id,
+       round(list_dot_product(embedding, qv)
+             / (sqrt(list_dot_product(embedding, embedding))
+                * sqrt(list_dot_product(qv, qv))), 4) AS cos
+FROM embeddings, q
+ORDER BY cos DESC, id LIMIT 10
+"""
+
+
+def _planes_sql(planes: list[list[int]]) -> str:
+    rows = ", ".join(f"({j}, {list(w)})" for j, w in enumerate(planes))
+    return f"(VALUES {rows}) planes(j, w)"
+
+
+def q23_lsh_bucket_histogram(spark, sf_dir):
+    """Sign-LSH bucketing of the embedding table (the ANN scale path):
+    bucket histogram — literal integer planes, engine-portable."""
+    emb = _embs(spark, sf_dir)
+    dim = len(_query_vec(spark, sf_dir))
+    planes = S.plane_weights(dim, 4)
+    return (emb.select(S.lsh_bucket_of(F.col("embedding"), planes).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bucket"))
+
+
+def sql_q23(dim: int) -> str:
+    planes = S.plane_weights(dim, 4)
+    return f"""
+WITH proj AS (
+  SELECT vec_id, j, list_dot_product(embedding, w::DOUBLE[]) AS s
+  FROM embeddings, {_planes_sql(planes)}),
+bits AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+  FROM proj GROUP BY vec_id)
+SELECT bucket, count(*) AS n FROM bits GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q24_lsh_bucket_topk(spark, sf_dir):
+    """Approximate top-k restricted to the query's LSH bucket (rows-only:
+    recall vs the exact baseline is asserted in pytest)."""
+    return S.lsh_bucket_topk(_embs(spark, sf_dir), "vec_id", "embedding",
+                             _query_vec(spark, sf_dir), k=10, n_planes=4)
+
+
+# --- text analysis ----------------------------------------------------------
+
+def q25_token_count(spark, sf_dir):
+    return (T.token_count(_docs(spark, sf_dir), "doc_id", "text")
+            .orderBy("id"))
+
+
+SQL_Q25 = """
+SELECT doc_id AS id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+       CAST(ceil(length(text) / 4.0) AS INT) AS n_subwords_est
+FROM documents ORDER BY id
+"""
+
+
+def q26_quality_score(spark, sf_dir):
+    return (T.quality_score(_docs(spark, sf_dir), "doc_id", "text")
+            .orderBy("id"))
+
+
+SQL_Q26 = """
+WITH t AS (SELECT doc_id AS id, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents)
+SELECT id,
+       len(toks) AS n_tokens,
+       round(length(text) / greatest(len(toks), 1), 4) AS avg_token_len,
+       round(len(list_filter(toks, x -> x IN ('the','and','of','to','a')))
+             / greatest(len(toks), 1), 4) AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             / greatest(length(text), 1), 4) AS punct_ratio
+FROM t ORDER BY id
+"""
+
+
+def q27_lang_id(spark, sf_dir):
+    return (T.lang_id(_docs(spark, sf_dir), "doc_id", "text")
+            .orderBy("id"))
+
+
+SQL_Q27 = """
+WITH t AS (SELECT doc_id AS id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+s AS (SELECT id,
+             len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS s_de,
+             len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+             len(list_filter(toks, x -> x IN ('el','los','que','una','y'))) AS s_es
+      FROM t),
+b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM s)
+SELECT id,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN s_de = best THEN 'de'
+            WHEN s_en = best THEN 'en'
+            WHEN s_es = best THEN 'es'
+            WHEN s_fr = best THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM b ORDER BY id
+"""
+
+
+def q28_fingerprint(spark, sf_dir):
+    return (T.md5_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+            .orderBy("id"))
+
+
+SQL_Q28 = """
+SELECT doc_id AS id,
+       md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+FROM documents ORDER BY id
+"""
+
+
+def q29_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (pandas/Arrow stage; rows-only —
+    the pure function is golden-tested in pytest)."""
+    return (T.winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+            .select("id", F.size("fps").alias("n_fps"))
+            .orderBy("id"))
+
+
+# --- multimodal -------------------------------------------------------------
+
+def q30_multimodal_metadata(spark, sf_dir):
+    """Binary-asset metadata extraction through the mapInPandas decode
+    stage (FakeCodec). sha256/n_bytes are oracle-checkable; the derived
+    width/height are pytest-verified."""
+    assets = MM.assets_from_documents(_docs(spark, sf_dir))
+    return (MM.extract_metadata(assets)
+            .select("asset_id", "kind", "n_bytes", "sha256")
+            .orderBy("asset_id"))
+
+
+SQL_Q30 = """
+SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents ORDER BY asset_id
+"""
+
+
+def q31_frame_sample_plan(spark, sf_dir):
+    """Video frame-sampling plan (sequence+explode over decoded
+    durations; rows-only — FakeCodec durations aren't SQL-derivable)."""
+    assets = MM.assets_from_documents(_docs(spark, sf_dir))
+    meta = MM.extract_metadata(assets)
+    return (MM.frame_sample_plan(meta, every_ms=60000)
+            .groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_frames"))
+            .orderBy("asset_id"))
+
+
+DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
+    "q17_dedup_exact": (q17_dedup_exact, SQL_Q17),
+    "q18_ngram_jaccard": (q18_ngram_jaccard, SQL_Q18),
+    "q19_minhash_lsh": (q19_minhash_lsh, SQL_Q19),
+    "q20_simhash_near_pairs": (q20_simhash_near_pairs, None),
+    "q21_embedding_dup_pairs": (q21_embedding_dup_pairs, SQL_Q21),
+    "q22_cosine_topk": (q22_cosine_topk, SQL_Q22),
+    "q23_lsh_bucket_histogram": (q23_lsh_bucket_histogram, sql_q23(64)),
+    "q24_lsh_bucket_topk": (q24_lsh_bucket_topk, None),
+    "q25_token_count": (q25_token_count, SQL_Q25),
+    "q26_quality_score": (q26_quality_score, SQL_Q26),
+    "q27_lang_id": (q27_lang_id, SQL_Q27),
+    "q28_fingerprint": (q28_fingerprint, SQL_Q28),
+    "q29_winnow_fingerprint": (q29_winnow_fingerprint, None),
+    "q30_multimodal_metadata": (q30_multimodal_metadata, SQL_Q30),
+    "q31_frame_sample_plan": (q31_frame_sample_plan, None),
+}

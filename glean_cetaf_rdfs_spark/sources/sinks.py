@@ -1,0 +1,51 @@
+"""Sink operators (SURVEY.md §2.1 S8-S10).
+
+The reference appends per-worker shard files, posts TriG chunks to a
+Fuseki named graph, and tees logs/errors to side files. Engine versions:
+partitioned columnar writes with bounded file sizes (patternsplit.awk's
+50 MB record-boundary chunking → ``maxRecordsPerFile``; Spark never
+splits a row), and the lineage table instead of log files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_shards(df: DataFrame, path: str, partition_cols: list[str],
+                 max_records_per_file: int = 1_000_000,
+                 mode: str = "overwrite") -> None:
+    """S8/S9 — partitioned columnar sink. partition_cols=['graph'] is the
+    named-GRAPH layout (import_rdf2trig…sh:281; README.md:52-60): one
+    directory per graph, SPARQL-endpoint-loadable N-Triple-style rows."""
+    (df.write.mode(mode)
+     .option("maxRecordsPerFile", max_records_per_file)
+     .partitionBy(*partition_cols)
+     .parquet(path))
+
+
+def write_ntriples_text(triples: DataFrame, path: str,
+                        mode: str = "overwrite") -> None:
+    """Serialize (subj, pred, obj, obj_is_iri) to N-Triples lines — the
+    reference's interchange format (rdfparse output, JACQ.sh:369-370) —
+    as a text sink (gzip via codec). Literal objects get minimal escaping;
+    IRIs are angle-bracketed."""
+    from pyspark.sql import functions as F
+
+    obj = F.when(
+        F.col("obj_is_iri"), F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
+    ).otherwise(
+        F.concat(F.lit('"'),
+                 F.regexp_replace(F.regexp_replace(F.col("obj"), r"\\", r"\\\\"),
+                                  '"', r'\\"'),
+                 F.lit('"')))
+    line = F.concat(F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"),
+                    F.lit("> "), obj, F.lit(" ."))
+    (triples.select(line.alias("value"))
+     .write.mode(mode).option("compression", "gzip").text(path))
+
+
+def append_lineage(df: DataFrame, path: str) -> None:
+    """S10 — log/error side-channel → append-only lineage/metrics table
+    (get_RDF4domain…:428-438; JACQ.sh:875-892)."""
+    df.write.mode("append").parquet(path)

@@ -1,0 +1,70 @@
+"""Structured Streaming ingest — the incremental growth path.
+
+The reference is batch but hand-rolls streaming concerns: interrupted
+harvests resume from done-lists, new URI lists arrive per domain and are
+diffed against processed state (SURVEY.md §2.10). The engine's batch
+checkpoint (streaming/checkpoint.py) covers that; this module is the
+native-streaming variant: new transcript files landing in a directory are
+picked up exactly-once via Spark's streaming file source + checkpoint
+location, run through the same extraction→canonicalization plan, and
+appended to the graph table with ``foreachBatch`` (which allows the same
+dedupe-within-batch + partitioned write as the batch path).
+
+``Trigger.AvailableNow`` processes everything present and stops — the
+idiomatic "catch up, then exit" mode for cron-style incremental jobs; a
+long-running deployment would switch the trigger only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.canonicalize import canonicalize_triples
+from ..operators.extract import extract_triples
+from ..operators.materialize import finalize_triples
+from ..sources.readers import TRANSCRIPT_SCHEMA
+
+
+def stream_transcripts(spark: SparkSession, input_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = (spark.readStream.format("parquet")
+              .schema(TRANSCRIPT_SCHEMA))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_dir)
+
+
+def run_incremental(spark: SparkSession, input_dir: str, out_path: str,
+                    checkpoint_dir: str) -> None:
+    """Process all currently-available transcript files into the graph
+    table, exactly once per file (streaming checkpoint), then stop."""
+    stream = stream_transcripts(spark, input_dir)
+    raw = extract_triples(stream)
+    canonical, sameas = canonicalize_triples(raw)
+    spo = (canonical.select("subj", "pred", "obj", "obj_is_iri")
+           .unionByName(sameas.select("subj", "pred", "obj", "obj_is_iri")))
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        final = finalize_triples(batch_df)
+        (final.write.mode("append").partitionBy("graph").parquet(out_path))
+
+    q = (spo.writeStream
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def streaming_turn_rate(spark: SparkSession, input_dir: str,
+                        window: str = "1 hour") -> DataFrame:
+    """Windowed event-time aggregation with watermark (late data bounded
+    at 1 day): turns per (window, role) — the streaming-native analog of
+    the reference's running ETA/progress accounting (A8)."""
+    from pyspark.sql import functions as F
+
+    stream = stream_transcripts(spark, input_dir)
+    return (stream
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", window), "role")
+            .agg(F.count(F.lit(1)).alias("n_turns")))

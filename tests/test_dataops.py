@@ -1,0 +1,124 @@
+"""Tests for the training-data operators that aren't (fully) covered by a
+DuckDB oracle: simhash, LSH recall, winnowing fingerprints, multimodal
+decode plumbing, language-ID heuristics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glean_cetaf_rdfs_spark.operators import dedupe as D
+from glean_cetaf_rdfs_spark.operators import multimodal as MM
+from glean_cetaf_rdfs_spark.operators import similarity as S
+from glean_cetaf_rdfs_spark.operators import textops as T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different sentence about spark engines and shuffles")],
+        "doc_id long, text string")
+    fps = {r["id"]: r["simhash"] for r in D.simhash64(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    pairs = D.simhash_near_pairs(df, "doc_id", "text", max_hamming=0).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_simhash_small_perturbation_small_distance(spark):
+    base = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " eleven")], "doc_id long, text string")
+    fps = {r["id"]: r["simhash"] for r in D.simhash64(df, "doc_id", "text").collect()}
+    d = bin((fps[1] ^ fps[2]) & ((1 << 64) - 1)).count("1")
+    assert 0 < d <= 24  # one extra token flips few fingerprint bits
+    # blocking contract: guaranteed recall when max_hamming < n_chunks
+    p = D.simhash_near_pairs(df, "doc_id", "text", max_hamming=d).collect()
+    if d <= 7:  # within the pigeonhole guarantee (8 chunks)
+        assert [(r["id_a"], r["id_b"])] == [(1, 2)] if (r := p[0]) else False
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates must find every truly-similar pair at this scale
+    (8 hashes / 4 bands / threshold .5 — high-probability blocking)."""
+    exact = {(r["id_a"], r["id_b"])
+             for r in D.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                            threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in D.minhash_lsh_pairs(docs, "doc_id", "text",
+                                        verify_threshold=0.5).collect()}
+    assert lsh <= exact  # verification step guarantees precision = 1
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.8
+
+
+def test_lsh_topk_subset_of_exact_scoring(embs):
+    q = [float(x) for x in
+         embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["id"]: r["cos"]
+             for r in S.cosine_topk(embs, "vec_id", "embedding", q, k=50).collect()}
+    approx = S.lsh_bucket_topk(embs, "vec_id", "embedding", q, k=10).collect()
+    assert approx, "query bucket must contain at least the query itself"
+    assert approx[0]["id"] == 0 and approx[0]["cos"] == pytest.approx(1.0, abs=1e-3)
+    for r in approx:  # approximate scores must equal exact scores (same math)
+        if r["id"] in exact:
+            assert r["cos"] == exact[r["id"]]
+
+
+def test_winnow_golden_and_shift_robustness():
+    fp1 = T.winnow_py("the quick brown fox jumps over the lazy dog")
+    fp2 = T.winnow_py("XX the quick brown fox jumps over the lazy dog")
+    assert fp1 and fp2
+    overlap = len(set(fp1) & set(fp2)) / len(set(fp1))
+    assert overlap >= 0.5  # winnowing keeps most fingerprints under shift
+    assert T.winnow_py("short") == []
+    assert T.winnow_py("the quick brown fox jumps over the lazy dog") == fp1
+
+
+def test_multimodal_metadata_plumbing(spark, docs):
+    assets = MM.assets_from_documents(docs)
+    meta = MM.extract_metadata(assets).cache()
+    n = meta.count()
+    assert n == docs.count()
+    kinds = {r["kind"] for r in meta.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    img = meta.filter(F.col("kind") == "image")
+    assert img.filter(F.col("width").isNull() | F.col("height").isNull()).count() == 0
+    assert img.filter(F.col("duration_ms").isNotNull()).count() == 0
+    vid = meta.filter(F.col("kind") == "video")
+    assert vid.filter(F.col("duration_ms").isNull()).count() == 0
+
+    # corrupt payload dropped, not fatal
+    bad = spark.createDataFrame([(999, "image", bytearray(b""), 0)],
+                                MM.ASSET_SCHEMA)
+    assert MM.extract_metadata(bad).count() == 0
+
+    plan = MM.resize_plan(meta, max_side=512)
+    over = plan.filter((F.col("out_width") > 512) & (F.col("out_height") > 512))
+    assert over.count() == 0
+    meta.unpersist()
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"),
+         (2, "der hund und die katze ein haus"),
+         (3, "le chat et la maison des les arbres"),
+         (4, "el perro y los gatos que una casa"),
+         (5, "zzz qqq www")],
+        "doc_id long, text string")
+    got = {r["id"]: r["lang_pred"] for r in T.lang_id(df, "doc_id", "text").collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}

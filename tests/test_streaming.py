@@ -1,0 +1,66 @@
+"""Structured Streaming ingest tests: exactly-once file pickup via the
+streaming checkpoint, incremental append to the graph table, windowed
+watermark aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glean_cetaf_rdfs_spark.data.synthetic import transcripts_pdf
+from glean_cetaf_rdfs_spark.streaming.ingest import (
+    run_incremental,
+    stream_transcripts,
+    streaming_turn_rate,
+)
+
+
+def _write_batch(spark, pdf, path):
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, transcripts_pdf(10), inp)
+    run_incremental(spark, inp, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    # no new files → no new rows (checkpoint remembers processed files)
+    run_incremental(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+    # a second batch of conversations → only the delta is appended
+    _write_batch(spark, transcripts_pdf(5, offset=10), inp)
+    run_incremental(spark, inp, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n2 > n1
+
+    # subjects from batch 1 still present exactly once per triple
+    final = spark.read.parquet(out)
+    assert final.filter(F.col("subj").contains("conv-000000/")).count() > 0
+
+
+def test_streaming_watermark_agg(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    _write_batch(spark, transcripts_pdf(20), inp)
+    agg = streaming_turn_rate(spark, inp, window="6 hours")
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("turn_rate")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM turn_rate").collect()
+    assert rows and sum(r["n_turns"] for r in rows) == len(transcripts_pdf(20))
+    roles = {r["role"] for r in rows}
+    assert {"user", "assistant", "tool"} <= roles
+
+
+def test_stream_schema(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    _write_batch(spark, transcripts_pdf(2), inp)
+    s = stream_transcripts(spark, inp)
+    assert s.isStreaming
+    assert [f.name for f in s.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"]

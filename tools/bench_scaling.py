@@ -1,0 +1,93 @@
+"""Two-parallelism-level scaling evidence (the north rule's two-cluster-size
+criterion, sandbox protocol per BASELINE.md): run the identical KG pipeline
+on identical input at local[N] and local[4N], report triples/sec at both
+and scaling efficiency (throughput_4N / throughput_N) / 4.
+
+Each level runs in a fresh subprocess (one SparkSession per JVM).
+
+Usage: python tools/bench_scaling.py [n_convs] [N]
+Writes JSON to stdout; tools/write_bench_md.py renders BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from glean_cetaf_rdfs_spark.session import get_spark
+from glean_cetaf_rdfs_spark.data.synthetic import transcripts_df
+from glean_cetaf_rdfs_spark.plans.pipeline import build_triples
+from glean_cetaf_rdfs_spark.session import _scratch_dir
+
+cores = {cores}
+n_convs = {n_convs}
+# shuffle partitions sized to DATA (identical at both parallelism levels —
+# only core count differs between the legs); sizing them to cores makes
+# the low-core leg sort ~10M rows/partition and spill
+spark = get_spark("scal", master=f"local[{{cores}}]", shuffle_partitions=128)
+path = _scratch_dir() + f"/scaling_transcripts_{n_convs}.parquet"
+if not os.path.exists(path + "/_SUCCESS"):
+    # deterministic generator -> both legs see byte-identical input
+    transcripts_df(spark, n_convs, partitions=128).write.mode("overwrite").parquet(path)
+inp = spark.read.parquet(path)
+n_turns = inp.count()
+# warm: run once so JVM/codegen/Arrow startup isn't in the measured leg
+build_triples(inp.limit(2000)).count()
+walls = []
+for _ in range(2):  # best-of-2: the sandbox host has noisy neighbors
+    t0 = time.perf_counter()
+    n_triples = build_triples(inp).count()
+    walls.append(time.perf_counter() - t0)
+wall = min(walls)
+print(json.dumps({{"cores": cores, "n_turns": n_turns, "n_triples": n_triples,
+                   "wall_sec": round(wall, 2), "walls": [round(w,1) for w in walls],
+                   "triples_per_sec": round(n_triples / wall, 1),
+                   "turns_per_sec": round(n_turns / wall, 1)}}))
+"""
+
+
+def run_level(cores: int, n_convs: int) -> dict:
+    code = CHILD.format(repo=str(REPO), cores=cores, n_convs=n_convs)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+GEN = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+from glean_cetaf_rdfs_spark.session import get_spark, _scratch_dir
+from glean_cetaf_rdfs_spark.data.synthetic import transcripts_df
+n_convs = {n_convs}
+path = _scratch_dir() + f"/scaling_transcripts_{n_convs}.parquet"
+if not os.path.exists(path + "/_SUCCESS"):
+    spark = get_spark("gen", master="local[32]")
+    transcripts_df(spark, n_convs, partitions=128).write.mode("overwrite").parquet(path)
+print("generated")
+"""
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # pre-generate the input with all cores — generation is fixture prep,
+    # not part of either measured leg
+    subprocess.run([sys.executable, "-c", GEN.format(repo=str(REPO), n_convs=n_convs)],
+                   capture_output=True, text=True, timeout=3600, check=True)
+    lo = run_level(n, n_convs)
+    hi = run_level(4 * n, n_convs)
+    eff = round(hi["triples_per_sec"] / lo["triples_per_sec"] / 4, 3)
+    print(json.dumps({"n_convs": n_convs, "low": lo, "high": hi,
+                      "scaling_efficiency": eff, "target": 0.8,
+                      "pass": eff >= 0.8}))
+
+
+if __name__ == "__main__":
+    main()
