@@ -324,6 +324,54 @@ SELECT user_id, sum(new_sess) AS n_sessions FROM (
 GROUP BY user_id ORDER BY user_id
 """
 
+def q33_except(spark, sf_dir):
+    """set difference (U2 — the reference's comm -13 done-diff besides the
+    anti-join): custkeys with open orders minus custkeys with F orders."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b).orderBy("custkey")  # EXCEPT (distinct) semantics
+
+
+SQL_Q33 = """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+"""
+
+
+def q34_intersect(spark, sf_dir):
+    """set intersection (U4 — 'available free' per SURVEY §2.8)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b).orderBy("custkey")
+
+
+SQL_Q34 = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+"""
+
+
+def q35_deterministic_shuffle(spark, sf_dir):
+    """randomized work order (O3 — the reference's seeded `shuf -r` load
+    spreading, get_RDF4domain…:488): deterministic 'random' permutation by
+    hashing the key (portable across engines, unlike rand(seed))."""
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", F.md5(F.col("o_orderkey").cast("string")).alias("slot"))
+            .orderBy("slot", "o_orderkey").limit(50))
+
+
+SQL_Q35 = """
+SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS slot
+FROM orders ORDER BY slot, o_orderkey LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -345,4 +393,7 @@ RELATIONAL_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q14_exemplar_agg": (q14_exemplar_agg, SQL_Q14),
     "q15_ordered_scan": (q15_ordered_scan, SQL_Q15),
     "q16_sessionize": (q16_sessionize, SQL_Q16),
+    "q33_except": (q33_except, SQL_Q33),
+    "q34_intersect": (q34_intersect, SQL_Q34),
+    "q35_deterministic_shuffle": (q35_deterministic_shuffle, SQL_Q35),
 }

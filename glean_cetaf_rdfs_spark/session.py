@@ -100,6 +100,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # smaller input splits: the extraction stage is pandas-UDF-heavy
+        # (~10x the per-byte cost of a plain scan), so 128MB packing gives
+        # few, skewed tasks — 32MB keeps every core busy through the tail
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():
