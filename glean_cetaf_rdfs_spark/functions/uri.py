@@ -79,13 +79,23 @@ def url_domain_py(url: str) -> str | None:
     return m.group(1) if m else None
 
 
+def strip_scheme_col(col: Column) -> Column:
+    """Anchored http(s) scheme strip as char-scan expressions (StartsWith
+    + Substring — no regex; this runs per-row in the widest stages and
+    the regex version measurably dominated their CPU). Anchoring matters:
+    ``substring_index(col, '://', -1)`` takes the text after the LAST
+    '://', so a URL with an embedded URL (…?to=http://b.example/x) would
+    get b.example's domain — ``url_domain_py``/``match_keys_py`` anchor
+    at the start."""
+    return (F.when(col.startswith("https://"), F.substring(col, 9, 1 << 30))
+            .when(col.startswith("http://"), F.substring(col, 8, 1 << 30))
+            .otherwise(col))
+
+
 def url_domain_col(col: Column) -> Column:
-    """Host of a URL column. substring_index char scans instead of a
-    regex — this runs per-row in the widest stages (graph assignment,
-    link keys) and the regex version measurably dominated their CPU.
-    Equivalent to ``url_domain_py`` for http(s) URLs (the only inputs
-    it ever sees: subjects and IRI objects)."""
-    after_scheme = F.substring_index(col, "://", -1)
+    """Host of a URL column — equivalent to ``url_domain_py`` for http(s)
+    URLs (the only inputs it ever sees: subjects and IRI objects)."""
+    after_scheme = strip_scheme_col(col)
     return F.substring_index(F.substring_index(after_scheme, "/", 1), ":", 1)
 
 

@@ -33,12 +33,19 @@ def exact_dedup_groups(df: DataFrame, id_col: str, key: Column) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: → (id, shingle)."""
+    """Distinct word n-gram shingles per doc: → (id, shingle).
+
+    Docs with fewer than ``n`` words yield zero shingles (same as the SQL
+    oracle): without the guard, ``sequence(1, size-n+1)`` is descending
+    for short docs and ``slice(words, 0, n)`` throws at runtime."""
     words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
             .distinct())
 

@@ -72,19 +72,28 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def extract_metadata(assets: DataFrame, decode_fn=FakeCodec.decode) -> DataFrame:
-    """Arrow-batched metadata extraction: one asset row in → one metadata
-    row out; corrupt payloads are dropped and counted (would go to the
-    lineage table in the pipeline)."""
+    """Arrow-batched metadata extraction: one asset row in → EXACTLY one
+    metadata row out. Byte-level facts (n_bytes, sha256) are computed
+    unconditionally; decode-derived fields (dims/duration) are null when
+    the codec rejects the payload — corrupt assets stay visible (and
+    countable via ``width IS NULL``-style filters) instead of silently
+    vanishing from row-count reconciliations."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                base = {"asset_id": r.asset_id, "kind": r.kind,
+                        "n_bytes": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                        "width": None, "height": None, "channels": None,
+                        "duration_ms": None}
                 try:
-                    meta = decode_fn(bytes(r.payload), r.kind)
+                    base.update(decode_fn(payload, r.kind))
                 except (ValueError, TypeError):
-                    continue
-                rows.append({"asset_id": r.asset_id, "kind": r.kind, **meta})
+                    pass  # decode failure → null decode fields
+                rows.append(base)
             yield pd.DataFrame(rows, columns=["asset_id", "kind", "n_bytes", "sha256",
                                               "width", "height", "channels",
                                               "duration_ms"])

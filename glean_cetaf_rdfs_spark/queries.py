@@ -110,13 +110,16 @@ FROM events GROUP BY 1 ORDER BY 1
 
 def q05_domain_histogram(spark, sf_dir):
     """per-domain URI histogram (A3 — doc/JACQ…md:99-136)."""
+    # CAST/.cast symmetry: DuckDB types sum(int) as HUGEINT (hashes as
+    # float via pandas); Spark returns long — pin both to BIGINT so the
+    # driver's value hash agrees (CORRECTNESS_r01 q05 artifact).
     return (_t(spark, sf_dir, "documents")
             .groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"),
-                                   F.sum("n_chars").alias("total_chars"))
+                                   F.sum("n_chars").cast("long").alias("total_chars"))
             .orderBy("source"))
 
 
-SQL_Q05 = ("SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+SQL_Q05 = ("SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
            "FROM documents GROUP BY source ORDER BY source")
 
 
@@ -309,12 +312,14 @@ def q16_sessionize(spark, sf_dir):
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
     return (ev.withColumn("new_sess", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0))
-            .groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+            .groupBy("user_id").agg(F.sum("new_sess").cast("long").alias("n_sessions"))
             .orderBy("user_id"))
 
 
+# CAST to BIGINT: DuckDB sum(int) is HUGEINT → float64 via pandas → hash
+# mismatch vs Spark's long (CORRECTNESS_r01 q16 artifact)
 SQL_Q16 = """
-SELECT user_id, sum(new_sess) AS n_sessions FROM (
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800

@@ -101,10 +101,13 @@ def test_multimodal_metadata_plumbing(spark, docs):
     vid = meta.filter(F.col("kind") == "video")
     assert vid.filter(F.col("duration_ms").isNull()).count() == 0
 
-    # corrupt payload dropped, not fatal
+    # corrupt payload keeps its row (byte facts present, decode fields null)
     bad = spark.createDataFrame([(999, "image", bytearray(b""), 0)],
                                 MM.ASSET_SCHEMA)
-    assert MM.extract_metadata(bad).count() == 0
+    bad_meta = MM.extract_metadata(bad).collect()
+    assert len(bad_meta) == 1
+    assert bad_meta[0]["n_bytes"] == 0 and bad_meta[0]["sha256"] is not None
+    assert bad_meta[0]["width"] is None and bad_meta[0]["duration_ms"] is None
 
     plan = MM.resize_plan(meta, max_side=512)
     over = plan.filter((F.col("out_width") > 512) & (F.col("out_height") > 512))
