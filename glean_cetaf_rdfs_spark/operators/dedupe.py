@@ -135,16 +135,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
             .select("id_a", "id_b", "jaccard"))
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over word tokens: token hash = xxhash64, bit k of
-    the fingerprint = sign of Σ_tokens (2·bit_k(h) − 1). → (id, simhash).
+def token_hash64(col) -> "F.Column":
+    """Portable 64-bit token hash: the top 16 hex chars of md5, assembled
+    from two 32-bit halves (`conv` can't parse 64 unsigned hex bits into
+    a signed long). Identical bits in any engine — DuckDB derives the
+    same value with ``('0x' || substr(md5(w),1,16))::UBIGINT``."""
+    md5h = F.md5(col)
+    hi = F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
-    Engine-specific hash (xxhash64) — exactness is asserted against a
-    Python golden in tests, not a SQL oracle."""
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens: token hash = portable md5-derived
+    64-bit value (:func:`token_hash64`), bit k of the fingerprint = sign
+    of Σ_tokens (2·bit_k(h) − 1). → (id, simhash).
+
+    Portability makes the near-pair query oracle-checkable in DuckDB
+    (same fingerprints bit-for-bit; hamming via xor+bit_count)."""
     tok = (df.select(F.col(id_col).alias("id"),
                      F.explode(F.split(F.col(text_col), " ")).alias("w"))
            .filter(F.col("w") != "")
-           .withColumn("h", F.xxhash64("w")))
+           .withColumn("h", token_hash64(F.col("w"))))
     bit_sums = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
         for b in range(64)
@@ -188,7 +200,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     return (a.join(b, ["c", "v"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .cast("int").alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
 

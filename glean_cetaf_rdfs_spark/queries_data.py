@@ -1,8 +1,8 @@
 """Driver-contract queries for the training-data operators (dedup,
 similarity search, text analysis, multimodal) — each a thin adapter over
 the package operator plus a DuckDB oracle where the semantics are
-SQL-expressible. Engine-specific-hash ops (simhash/xxhash64, winnowing)
-are rows-only here and golden-tested in pytest instead.
+SQL-expressible. Only winnowing (per-char rolling hash) stays rows-only
+here; it is golden-tested in pytest instead.
 """
 
 from __future__ import annotations
@@ -114,11 +114,37 @@ ORDER BY id_a, id_b
 
 
 def q20_simhash_near_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64 — engine-specific, rows-only;
-    exactness golden-tested in pytest)."""
+    """SimHash near-dup pairs. max_hamming=7 stays inside the 8-chunk
+    pigeonhole guarantee (n_chunks > d), so the blocked join is EXACT —
+    and the md5-portable token hash makes it oracle-checkable."""
     return (D.simhash_near_pairs(_docs(spark, sf_dir), "doc_id", "text",
-                                 max_hamming=16)
+                                 max_hamming=7)
             .orderBy("id_a", "id_b"))
+
+
+# Same fingerprints bit-for-bit: token hash = top-16-hex-chars of md5 as
+# UBIGINT; fingerprint built as signed BIGINT (bit 63 = -2^63 term, the
+# two's-complement value Spark's shiftleft(1,63) wraps to); hamming via
+# xor+bit_count. The oracle's pair join is quadratic — fine at oracle sf.
+SQL_Q20 = """
+WITH tok AS (SELECT doc_id AS id,
+                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+             FROM documents),
+h AS (SELECT id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM tok),
+bpos AS (SELECT unnest(range(0, 64)) AS b),
+bits AS (SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM h, bpos GROUP BY id, b),
+fp AS (SELECT id, sum(CASE WHEN s > 0 THEN
+                        CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                             ELSE (1::BIGINT << CAST(b AS INT)) END
+                      ELSE 0 END)::BIGINT AS f
+       FROM bits GROUP BY id)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.f, b.f)) <= 7
+ORDER BY id_a, id_b
+"""
 
 
 def q21_embedding_dup_pairs(spark, sf_dir):
@@ -197,10 +223,32 @@ SELECT bucket, count(*) AS n FROM bits GROUP BY bucket ORDER BY bucket
 
 
 def q24_lsh_bucket_topk(spark, sf_dir):
-    """Approximate top-k restricted to the query's LSH bucket (rows-only:
-    recall vs the exact baseline is asserted in pytest)."""
+    """Approximate top-k restricted to the query's LSH bucket. Oracle-
+    checked: the SQL derives the query's bucket from the same literal
+    integer planes and applies the identical bucket filter + top-k."""
     return S.lsh_bucket_topk(_embs(spark, sf_dir), "vec_id", "embedding",
                              _query_vec(spark, sf_dir), k=10, n_planes=4)
+
+
+def sql_q24(dim: int) -> str:
+    planes = S.plane_weights(dim, 4)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT string_agg(CASE WHEN list_dot_product(qv, w::DOUBLE[]) > 0
+                              THEN '1' ELSE '0' END, '' ORDER BY j) AS qbucket
+       FROM q, {_planes_sql(planes)}),
+bk AS (SELECT vec_id,
+              string_agg(CASE WHEN list_dot_product(embedding, w::DOUBLE[]) > 0
+                              THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+       FROM embeddings, {_planes_sql(planes)} GROUP BY vec_id)
+SELECT e.vec_id AS id,
+       round(list_dot_product(e.embedding, q.qv)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+FROM embeddings e, q, qb, bk
+WHERE bk.vec_id = e.vec_id AND bk.bucket = qb.qbucket
+ORDER BY cos DESC, id LIMIT 10
+"""
 
 
 # --- text analysis ----------------------------------------------------------
@@ -310,7 +358,8 @@ FROM documents ORDER BY asset_id
 
 def q31_frame_sample_plan(spark, sf_dir):
     """Video frame-sampling plan (sequence+explode over decoded
-    durations; rows-only — FakeCodec durations aren't SQL-derivable)."""
+    durations). Oracle-checked: FakeCodec's duration is sha256-derived
+    (100 + int(hex[:8],16) % 600000), which DuckDB reproduces."""
     assets = MM.assets_from_documents(_docs(spark, sf_dir))
     meta = MM.extract_metadata(assets)
     return (MM.frame_sample_plan(meta, every_ms=60000)
@@ -318,20 +367,33 @@ def q31_frame_sample_plan(spark, sf_dir):
             .orderBy("asset_id"))
 
 
+# kind = video ⇔ doc_id % 3 = 2 (assets_from_documents cycling);
+# n_frames = len(sequence(0, duration, 60000)) = duration // 60000 + 1;
+# empty payloads decode to null duration → no frames (length(text) > 0)
+SQL_Q31 = """
+SELECT doc_id AS asset_id,
+       CAST(((100 + ('0x' || substr(sha256(text), 1, 8))::UBIGINT % 600000)
+             // 60000) + 1 AS BIGINT) AS n_frames
+FROM documents
+WHERE doc_id % 3 = 2 AND length(text) > 0
+ORDER BY asset_id
+"""
+
+
 DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q17_dedup_exact": (q17_dedup_exact, SQL_Q17),
     "q18_ngram_jaccard": (q18_ngram_jaccard, SQL_Q18),
     "q19_minhash_lsh": (q19_minhash_lsh, SQL_Q19),
-    "q20_simhash_near_pairs": (q20_simhash_near_pairs, None),
+    "q20_simhash_near_pairs": (q20_simhash_near_pairs, SQL_Q20),
     "q21_embedding_dup_pairs": (q21_embedding_dup_pairs, SQL_Q21),
     "q22_cosine_topk": (q22_cosine_topk, SQL_Q22),
     "q23_lsh_bucket_histogram": (q23_lsh_bucket_histogram, sql_q23(64)),
-    "q24_lsh_bucket_topk": (q24_lsh_bucket_topk, None),
+    "q24_lsh_bucket_topk": (q24_lsh_bucket_topk, sql_q24(64)),
     "q25_token_count": (q25_token_count, SQL_Q25),
     "q26_quality_score": (q26_quality_score, SQL_Q26),
     "q27_lang_id": (q27_lang_id, SQL_Q27),
     "q28_fingerprint": (q28_fingerprint, SQL_Q28),
     "q29_winnow_fingerprint": (q29_winnow_fingerprint, None),
     "q30_multimodal_metadata": (q30_multimodal_metadata, SQL_Q30),
-    "q31_frame_sample_plan": (q31_frame_sample_plan, None),
+    "q31_frame_sample_plan": (q31_frame_sample_plan, SQL_Q31),
 }

@@ -51,6 +51,38 @@ def test_simhash_small_perturbation_small_distance(spark):
         assert [(r["id_a"], r["id_b"])] == [(1, 2)] if (r := p[0]) else False
 
 
+def test_simhash_portable_hash_matches_python(spark):
+    """The engine's token hash must equal int(md5_hex[:16], 16) as a
+    signed 64-bit value — the exact quantity the DuckDB oracle derives
+    with ('0x' || substr(md5(w),1,16))::UBIGINT."""
+    import hashlib
+
+    words = ["hello", "spark", "ünïcode", "a", "zzz"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["h"]
+           for r in df.select("w", D.token_hash64(F.col("w")).alias("h")).collect()}
+    for w in words:
+        want = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+        want_signed = want - (1 << 64) if want >= (1 << 63) else want
+        assert got[w] == want_signed, w
+
+
+def test_simhash_blocking_exact_within_guarantee(spark, docs):
+    """Pigeonhole completeness: with max_hamming=7 < n_chunks=8, the
+    blocked join must return EXACTLY the pairs at hamming ≤ 7 — verified
+    against the all-pairs distance computed from collected fingerprints."""
+    fps = {r["id"]: r["simhash"] & ((1 << 64) - 1)
+           for r in D.simhash64(docs, "doc_id", "text").collect()}
+    ids = sorted(fps)
+    want = {(a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(fps[a] ^ fps[b]).count("1") <= 7}
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in D.simhash_near_pairs(docs, "doc_id", "text",
+                                         max_hamming=7).collect()}
+    assert got == want
+
+
 def test_minhash_lsh_recall_vs_exact(docs):
     """LSH candidates must find every truly-similar pair at this scale
     (8 hashes / 4 bands / threshold .5 — high-probability blocking)."""
