@@ -103,6 +103,17 @@ def _mk_text(rng: np.random.RandomState, role: str, tool: str | None) -> str:
     if rng.rand() < 0.12:  # collection-code literal (J2 fixture)
         dom_lit = _LITERAL_KEYS[rng.randint(len(_LITERAL_KEYS))]
         parts.append(f'collection "{dom_lit[1]}"')
+    if rng.rand() < 0.10:  # collector back-link (G4 trigger — JACQ.sh:446-447)
+        if rng.rand() < 0.5:
+            q = rng.randint(1, 20000)
+            host = rng.choice(["www.wikidata.org", "m.wikidata.org"])
+            path = rng.choice(["wiki", "entity"])
+            scheme = rng.choice(["http", "https"])
+            parts.append(f"recordedby={scheme}://{host}/{path}/Q{q}")
+        else:
+            v = rng.randint(100000, 999999)
+            suffix = rng.choice(["", "/#entity"])
+            parts.append(f"recordedby=http://viaf.org/viaf/{v}{suffix}")
     if rng.rand() < 0.08:  # Event-typed subject (G2 retraction fixture)
         parts.append("eventtype=Event")
     if not parts:

@@ -53,6 +53,11 @@ def extract_turn_triples(
     ]
     if tool:
         out.append((subj, V.P_USED_TOOL, V.tool_uri(tool), True))
+    # recordedBy spans come out first so their URLs aren't re-matched as
+    # plain mentions (G4 trigger — JACQ.sh:446-447)
+    rb_urls, text = M.extract_recorded_by(text)
+    for url in rb_urls:
+        out.append((subj, V.P_RECORDED_BY, url, True))
     for url in M.extract_urls(text):
         out.append((subj, V.P_MENTIONS, url, True))
     for lat, lon in M.extract_coords(text):

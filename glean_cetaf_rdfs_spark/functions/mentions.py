@@ -28,10 +28,28 @@ import re
 
 _BRACKET_URL = re.compile(r"<(https?://[^<>]*)>")
 _BARE_URL = re.compile(r'(?<![<\w])(https?://[^\s"<>\[\]\\^`]+)')
+_RECORDED_BY = re.compile(r'recordedby=(https?://[^\s"<>\[\]\\^`]+)')
 _COORDS = re.compile(r"lat=(-?\d+\.\d+) long=(-?\d+\.\d+)")
 _COLLECTION = re.compile(r'collection "([^"]+)"')
 _EMPTY_NOTE = re.compile(r'note=""')
 _EVENT = re.compile(r"eventtype=Event\b")
+
+
+def extract_recorded_by(text: str) -> tuple[list[str], str]:
+    """``recordedby=<url>`` collector back-links → ``dwciri:recordedBy``
+    (the G4 hasPart trigger — the reference grafts dcterms:hasPart only
+    when the subject has dwciri:recordedBy into wikidata/viaf,
+    convertRDF4import_normal-files_JACQ.sh:446-447). Returns
+    (urls, text_without_those_spans) so the mention matcher can't
+    re-match the same URL as a plain mention."""
+    out: list[str] = []
+
+    def _take(m: re.Match) -> str:
+        out.append(m.group(1))
+        return " "
+
+    rest = _RECORDED_BY.sub(_take, text)
+    return out, rest
 
 
 def extract_urls(text: str) -> list[str]:

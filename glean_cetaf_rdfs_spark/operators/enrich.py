@@ -67,15 +67,21 @@ def enrich_triples(triples: DataFrame, links: DataFrame,
     )
     from_links = _explode_triples(flagged, ent_arr)
 
-    mentions = (triples.filter(F.col("pred") == V.P_MENTIONS)
-                .select(F.col("subj").alias("turn"), F.col("obj").alias("ent")))
+    # wikidata entities get isPartOf <wikidata root> wherever they appear
+    # (JACQ.sh:823-829); hasPart back-links are grafted ONLY on subjects
+    # with dwciri:recordedBy into wikidata/viaf (JACQ.sh:446-447) — a
+    # plain mention does not trigger them.
+    ments = (triples.filter(F.col("pred").isin(V.P_MENTIONS, V.P_RECORDED_BY))
+             .select(F.col("subj").alias("turn"), F.col("obj").alias("ent"),
+                     F.col("pred").alias("via")))
     is_wd = F.col("ent").startswith(V.O_WIKIDATA_ROOT)
     is_viaf = F.col("ent").startswith(V.O_VIAF_ROOT)
+    is_rb = F.col("via") == V.P_RECORDED_BY
     mention_arr = F.array(
         F.when(is_wd, _triple(F.col("ent"), V.P_IS_PART_OF, F.lit(V.O_WIKIDATA_ROOT))),
-        F.when(is_wd, _triple(F.col("turn"), V.P_HAS_PART, F.lit(V.O_WIKIDATA_ROOT))),
-        F.when(is_viaf, _triple(F.col("turn"), V.P_HAS_PART, F.lit(V.O_VIAF_ROOT))),
+        F.when(is_wd & is_rb, _triple(F.col("turn"), V.P_HAS_PART, F.lit(V.O_WIKIDATA_ROOT))),
+        F.when(is_viaf & is_rb, _triple(F.col("turn"), V.P_HAS_PART, F.lit(V.O_VIAF_ROOT))),
     )
-    from_mentions = _explode_triples(mentions, mention_arr)
+    from_mentions = _explode_triples(ments, mention_arr)
 
     return from_links.unionByName(from_mentions)

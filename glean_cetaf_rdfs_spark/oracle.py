@@ -42,6 +42,7 @@ def oracle_triples(transcripts: pd.DataFrame) -> set[Triple5]:
 
     kept: set[Triple5] = set()
     mentions: list[tuple[str, str]] = []     # (turn, entity) canonical
+    recorded: list[tuple[str, str]] = []     # (turn, recordedBy obj) canonical
     turn_codes: dict[str, set[str]] = {}     # turn -> collection codes
     event_turns: set[str] = set()
 
@@ -61,6 +62,8 @@ def oracle_triples(transcripts: pd.DataFrame) -> set[Triple5]:
             kept.add(_graphed(subj, pred, obj, iri))
             if pred == V.P_MENTIONS:
                 mentions.append((subj, obj))
+            elif pred == V.P_RECORDED_BY:
+                recorded.append((subj, obj))
             elif pred == P_COLLECTION_CODE:
                 turn_codes.setdefault(subj, set()).add(obj)
             elif pred == V.RDF_TYPE and obj == V.O_EVENT_TYPE:
@@ -105,18 +108,18 @@ def oracle_triples(transcripts: pd.DataFrame) -> set[Triple5]:
             if pub is not None:
                 kept.add(_graphed(ent, V.P_PUBLISHER, pub, True))
 
-    wd_turns: set[str] = set()
-    viaf_turns: set[str] = set()
+    # wikidata entities get isPartOf <wikidata root> wherever they appear
+    # (JACQ.sh:823-829); hasPart ONLY on subjects with dwciri:recordedBy
+    # into wikidata/viaf (JACQ.sh:446-447)
     for turn, ent in mentions:
         if ent.startswith(V.O_WIKIDATA_ROOT):
             kept.add(_graphed(ent, V.P_IS_PART_OF, V.O_WIKIDATA_ROOT, True))
-            wd_turns.add(turn)
+    for turn, ent in recorded:
+        if ent.startswith(V.O_WIKIDATA_ROOT):
+            kept.add(_graphed(ent, V.P_IS_PART_OF, V.O_WIKIDATA_ROOT, True))
+            kept.add(_graphed(turn, V.P_HAS_PART, V.O_WIKIDATA_ROOT, True))
         elif ent.startswith(V.O_VIAF_ROOT):
-            viaf_turns.add(turn)
-    for turn in wd_turns:
-        kept.add(_graphed(turn, V.P_HAS_PART, V.O_WIKIDATA_ROOT, True))
-    for turn in viaf_turns:
-        kept.add(_graphed(turn, V.P_HAS_PART, V.O_VIAF_ROOT, True))
+            kept.add(_graphed(turn, V.P_HAS_PART, V.O_VIAF_ROOT, True))
 
     return kept
 

@@ -27,9 +27,6 @@ def test_rows_only_queries_are_the_documented_ones():
     qs, sqls = E.queries(), E.oracle_sql()
     rows_only = set(qs) - set(sqls)
     assert rows_only == {
-        "q20_simhash_near_pairs",      # xxhash64: engine-specific hash
-        "q24_lsh_bucket_topk",         # recall asserted in pytest
-        "q29_winnow_fingerprint",      # rolling hash: pytest golden
-        "q31_frame_sample_plan",       # FakeCodec durations not SQL-derivable
+        "q29_winnow_fingerprint",      # per-char rolling hash: pytest golden
         "q32_kg_pipeline_predicates",  # transcripts aren't DuckDB views
     }

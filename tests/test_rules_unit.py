@@ -65,3 +65,40 @@ def test_match_keys():
     # port stripped from domain key; query segment stops key growth
     assert match_keys_py("http://tun.example:80/a?format=X") == ["tun.example"]
     assert url_domain_py("https://x.example:443/a") == "x.example"
+
+
+def test_extract_recorded_by_not_a_mention():
+    """recordedby= spans become dwciri:recordedBy, never plain mentions
+    (G4 trigger fidelity — JACQ.sh:446-447)."""
+    text = "x recordedby=http://viaf.org/viaf/123 see http://a.example/y"
+    rb, rest = M.extract_recorded_by(text)
+    assert rb == ["http://viaf.org/viaf/123"]
+    assert M.extract_urls(rest) == ["http://a.example/y"]
+
+
+def test_haspart_gated_on_recorded_by():
+    """A wikidata MENTION alone must NOT graft hasPart; a recordedBy into
+    wikidata/viaf must (matching the reference's dwciri:recordedBy gate)."""
+    from glean_cetaf_rdfs_spark.data import vocab as V
+    from glean_cetaf_rdfs_spark.data.synthetic import transcripts_pdf
+    from glean_cetaf_rdfs_spark.oracle import oracle_triples
+    import pandas as pd
+
+    base = transcripts_pdf(1).iloc[:2].copy()
+    base["text"] = [
+        "see http://www.wikidata.org/entity/Q42",          # mention only
+        "recordedby=https://m.wikidata.org/wiki/Q43 hi",   # recordedBy (alias)
+    ]
+    got = oracle_triples(base)
+    preds_by_subj = {}
+    for g, s, p, o, _ in got:
+        preds_by_subj.setdefault(s, set()).add((p, o))
+    t0 = V.turn_uri(base.iloc[0]["conv_id"], 0)
+    t1 = V.turn_uri(base.iloc[1]["conv_id"], 1)
+    wd = V.O_WIKIDATA_ROOT
+    assert (V.P_HAS_PART, wd) not in preds_by_subj[t0]
+    assert (V.P_MENTIONS, wd + "Q42") in preds_by_subj[t0]
+    assert (V.P_HAS_PART, wd) in preds_by_subj[t1]
+    assert (V.P_RECORDED_BY, wd + "Q43") in preds_by_subj[t1]
+    # alias spelling canonicalized on the recordedBy path too
+    assert (wd + "Q43", V.P_IS_PART_OF, wd) in {(s, p, o) for _, s, p, o, _ in got}
