@@ -81,9 +81,14 @@ def _mk_url(rng: np.random.RandomState) -> str:
     if p < 0.86:  # technical URL — subject dropped (P5, Finland.sh:422-428)
         fmt = rng.choice(["JSONLD", "RDFXML", "TTL"])
         return f"http://tun.example/specimen/{rng.randint(100000)}?format={fmt}"
-    if p < 0.94:  # illegal IRI chars, bracket-quoted (P9, fixRDF:368-384)
+    if p < 0.90:  # illegal IRI chars, bracket-quoted (P9, fixRDF:368-384)
         bad = rng.choice([" ", "^", "`", "\\", "[", "]"])
         return f"<http://dirty.example/a{bad}b/{rng.randint(1000)}>"
+    if p < 0.93:  # doubled-URI data bug (P12, fixRDF:408-409)
+        u = f"http://dup.example/r/{rng.randint(1000)}"
+        return u + u
+    if p < 0.96:  # XML-escaped ampersand in query (P13, fixRDF:412-413)
+        return f"http://other.example/q?a={rng.randint(100)}&amp;b={rng.randint(100)}"
     # plain unlinked URL
     return f"http://other.example/page/{rng.randint(100000)}"
 
@@ -114,6 +119,17 @@ def _mk_text(rng: np.random.RandomState, role: str, tool: str | None) -> str:
             v = rng.randint(100000, 999999)
             suffix = rng.choice(["", "/#entity"])
             parts.append(f"recordedby=http://viaf.org/viaf/{v}{suffix}")
+    if rng.rand() < 0.08:  # associatedMedia quoted literal (P19 retype)
+        port = ":443" if rng.rand() < 0.25 else ""
+        scheme = "https" if port else "http"
+        ext = ["jpg", "png", "tif"][rng.randint(3)]
+        parts.append(
+            f'media="{scheme}://media.example{port}/img/{rng.randint(100000)}.{ext}"')
+    if rng.rand() < 0.05:  # XML comment — content is never data (P10)
+        parts.append(f"<!-- see http://hidden.example/c/{rng.randint(1000)} -- note -->")
+    if rng.rand() < 0.04:  # embedded HTML payload excised (P6)
+        parts.append("<!DOCTYPE html><html><body>see "
+                     f"http://hidden.example/h/{rng.randint(1000)}</body></html>")
     if rng.rand() < 0.08:  # Event-typed subject (G2 retraction fixture)
         parts.append("eventtype=Event")
     if not parts:

@@ -31,6 +31,7 @@ P_CREATED = DCTERMS + "created"
 P_LAT = WGS84 + "lat"
 P_LONG = WGS84 + "long"
 P_RECORDED_BY = DWCIRI + "recordedBy"             # G4 trigger, JACQ.sh:446
+P_ASSOCIATED_MEDIA = DWC + "associatedMedia"      # P19 retype, JACQ.sh:846-855
 
 # --- object IRIs -----------------------------------------------------------
 O_CSPP = "http://cetafidentifiers.biowikifarm.net/wiki/CSPP"  # generator:132

@@ -44,6 +44,9 @@ def ts_literal(ts) -> str:
 def extract_turn_triples(
     conv_id: str, turn_idx: int, role: str, text: str, tool: str | None, ts
 ) -> list[Triple]:
+    # fix-stage text repairs first (P6 HTML excision, P10 comment strip) —
+    # content inside comments/HTML payloads never becomes data
+    text = M.fix_text(text)
     subj = V.turn_uri(conv_id, turn_idx)
     out: list[Triple] = [
         (subj, V.RDF_TYPE, V.O_TURN_TYPE, True),
@@ -58,6 +61,11 @@ def extract_turn_triples(
     rb_urls, text = M.extract_recorded_by(text)
     for url in rb_urls:
         out.append((subj, V.P_RECORDED_BY, url, True))
+    # media="…" quoted literals: emitted as URL-valued LITERALS here; the
+    # canonicalize stage retypes them to IRIs (P19 — JACQ.sh:846-855)
+    media_urls, text = M.extract_media(text)
+    for url in media_urls:
+        out.append((subj, V.P_ASSOCIATED_MEDIA, url, False))
     for url in M.extract_urls(text):
         out.append((subj, V.P_MENTIONS, url, True))
     for lat, lon in M.extract_coords(text):

@@ -29,6 +29,38 @@ import re
 _BRACKET_URL = re.compile(r"<(https?://[^<>]*)>")
 _BARE_URL = re.compile(r'(?<![<\w])(https?://[^\s"<>\[\]\\^`]+)')
 _RECORDED_BY = re.compile(r'recordedby=(https?://[^\s"<>\[\]\\^`]+)')
+_MEDIA = re.compile(r'media="(https?://[^"]+)"')
+_XML_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_HTML_BLOB = re.compile(r"<!DOCTYPE html.*?</html>", re.S | re.I)
+
+
+def fix_text(text: str) -> str:
+    """Pre-extraction text repairs — the reference's fix stage, net of
+    the downstream parse:
+
+    * embedded HTML/DOCTYPE payloads excised (P6 —
+      fixRDF_before_validateRDFs.sh:358-366),
+    * XML comment spans removed: the reference %-encodes ``--`` inside
+      comments only so the parser survives them (P10 — fixRDF:386-394),
+      then the parser discards comment content — net semantics: comment
+      content is never data, so URLs inside comments are not mentions.
+    """
+    text = _HTML_BLOB.sub(" ", text)
+    return _XML_COMMENT.sub(" ", text)
+
+
+def extract_media(text: str) -> tuple[list[str], str]:
+    """``media="<url>"`` quoted-literal media references → URL-valued
+    literals, retyped to IRIs at canonicalization (P19 — JACQ.sh:846-855,
+    issue #12). Returns (urls, text_without_those_spans)."""
+    out: list[str] = []
+
+    def _take(m: re.Match) -> str:
+        out.append(m.group(1))
+        return " "
+
+    rest = _MEDIA.sub(_take, text)
+    return out, rest
 _COORDS = re.compile(r"lat=(-?\d+\.\d+) long=(-?\d+\.\d+)")
 _COLLECTION = re.compile(r'collection "([^"]+)"')
 _EMPTY_NOTE = re.compile(r'note=""')

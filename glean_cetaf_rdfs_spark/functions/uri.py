@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 
 # (pattern, python_replacement) — applied in order, each globally.
 CANON_RULES: list[tuple[str, str]] = [
+    # --- fix-stage data repairs, before normalize rules (stage order) ---
+    # P12 doubled-URI value fix (fixRDF_before_validateRDFs.sh:408-409):
+    # the whole value is one URL repeated twice → keep one copy
+    (r"^(https?://.+)\1$", r"\1"),
+    # P13 bare-& escape (fixRDF:412-413) net of the parser's unescape:
+    # XML-escaped ampersands decode back to & in the IRI
+    (r"&amp;", "&"),
+    # --- normalize-stage alias rules ---
     # default-port strip
     (r"^(https?://[^/:]+):(?:443|80)(/|$)", r"\1\2"),
     # wikidata alias unification → http://www.wikidata.org/entity/Qn

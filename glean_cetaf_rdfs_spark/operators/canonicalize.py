@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..data import vocab as V
 from ..functions.extraction_rules import OWL_SAMEAS
 from ..functions.uri import canonicalize_col
 
@@ -28,9 +29,16 @@ TECHNICAL_URL = r"[?&]format="
 def annotate_canonical(raw: DataFrame) -> DataFrame:
     """raw triples + ``obj_canon`` column (the rewritten IRI, or the
     literal unchanged). This is THE regexp pass — materialize its output
-    before fanning out so the 12-rule chain runs exactly once per row;
+    before fanning out so the rule chain runs exactly once per row;
     re-executing it per downstream branch was the pipeline's top CPU
-    sink (measured 2.2k CPU-seconds at 310k-turn scale)."""
+    sink (measured 2.2k CPU-seconds at 310k-turn scale).
+
+    P19 retype first (JACQ.sh:846-855): a URL-valued ``associatedMedia``
+    LITERAL flips to an IRI object, so the alias rules apply to it too."""
+    retyped = F.col("obj_is_iri") | (
+        (F.col("pred") == V.P_ASSOCIATED_MEDIA)
+        & (F.col("obj").startswith("http://") | F.col("obj").startswith("https://")))
+    raw = raw.withColumn("obj_is_iri", retyped)
     return raw.withColumn(
         "obj_canon",
         F.when(F.col("obj_is_iri"), canonicalize_col(F.col("obj"))).otherwise(F.col("obj")),

@@ -50,6 +50,11 @@ def oracle_triples(transcripts: pd.DataFrame) -> set[Triple5]:
     for r in transcripts.itertuples(index=False):
         for subj, pred, obj, iri in extract_turn_triples(
                 r.conv_id, int(r.turn_idx), r.role, r.text, r.tool, r.ts):
+            # P19 retype (JACQ.sh:846-855): URL-valued associatedMedia
+            # literal → IRI object, before the alias rules
+            if (not iri and pred == V.P_ASSOCIATED_MEDIA
+                    and obj.startswith(("http://", "https://"))):
+                iri = True
             if iri:
                 canon = canonicalize_py(obj)
                 if TECHNICAL.search(canon):

@@ -102,3 +102,47 @@ def test_haspart_gated_on_recorded_by():
     assert (V.P_RECORDED_BY, wd + "Q43") in preds_by_subj[t1]
     # alias spelling canonicalized on the recordedBy path too
     assert (wd + "Q43", V.P_IS_PART_OF, wd) in {(s, p, o) for _, s, p, o, _ in got}
+
+
+def test_fix_text_comment_and_html_excision():
+    """P10/P6: URLs inside XML comments or embedded HTML payloads are
+    never data (fixRDF:386-394, 358-366)."""
+    t = ("keep http://a.example/1 <!-- see http://hidden.example/c -- x --> "
+         "<!DOCTYPE html><html><b>http://hidden.example/h</b></html> tail")
+    fixed = M.fix_text(t)
+    assert "hidden.example" not in fixed
+    assert M.extract_urls(fixed) == ["http://a.example/1"]
+
+
+def test_doubled_uri_fix():
+    """P12 (fixRDF:408-409): value = one URL repeated twice → one copy."""
+    u = "http://dup.example/r/7"
+    assert canonicalize_py(u + u) == u
+    assert canonicalize_py(u) == u  # non-doubled unchanged
+    # two DIFFERENT urls concatenated are not a double
+    v = "http://dup.example/r/8"
+    assert canonicalize_py(u + v) == u + v
+
+
+def test_amp_escape_decode():
+    """P13 (fixRDF:412-413) net of the parser's unescape."""
+    assert (canonicalize_py("http://o.example/q?a=1&amp;b=2")
+            == "http://o.example/q?a=1&b=2")
+
+
+def test_media_literal_retype_p19():
+    """P19 (JACQ.sh:846-855): media="http://…" literal → IRI object,
+    canonicalized (port strip applies after retype)."""
+    from glean_cetaf_rdfs_spark.data import vocab as V
+    from glean_cetaf_rdfs_spark.data.synthetic import transcripts_pdf
+    from glean_cetaf_rdfs_spark.oracle import oracle_triples
+
+    base = transcripts_pdf(1).iloc[:1].copy()
+    base["text"] = ['media="https://media.example:443/img/1.jpg" hi']
+    got = {(s, p, o, i) for _, s, p, o, i in oracle_triples(base)}
+    t0 = V.turn_uri(base.iloc[0]["conv_id"], 0)
+    assert (t0, V.P_ASSOCIATED_MEDIA, "https://media.example/img/1.jpg", True) in got
+    # the retype + canonicalization emits the sameAs alias edge
+    assert ("https://media.example:443/img/1.jpg",
+            "http://www.w3.org/2002/07/owl#sameAs",
+            "https://media.example/img/1.jpg", True) in got
