@@ -22,8 +22,9 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# headline set: one per operator family that matters at scale; the
-# quadratic exact-pair baselines (q18/q21) are correctness-gate-only.
+# headline set: one per operator family that matters at scale. q18/q21
+# now ship with blocking (stop-shingle cap / sign-LSH buckets), so they
+# are benchmarked too.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_status_histogram",
@@ -32,7 +33,9 @@ HEADLINE = [
     "q10_topk_per_group",
     "q16_sessionize",
     "q17_dedup_exact",
+    "q18_ngram_jaccard",
     "q19_minhash_lsh",
+    "q21_embedding_dup_pairs",
     "q22_cosine_topk",
     "q23_lsh_bucket_histogram",
     "q25_token_count",

@@ -86,15 +86,16 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     """Portable minhash: h_i(shingle) = md5(i || '|' || shingle), signature
     component i = lexicographic min over the doc's shingles. md5-string
     minima are engine-independent (same result in Spark, DuckDB, Python).
-    → (id, i, minh)."""
+    → wide (id, h0..h{k-1}).
+
+    ONE ``groupBy(id)`` with k ``min`` aggregates: the shingle stream is
+    shuffled exactly once at its own size. The earlier posexplode →
+    ``groupBy(id, i)`` formulation shuffled k× the shingle stream — the
+    single most expensive exchange in the round-1 bench (q19 12.9 s)."""
     sh = word_shingles(df, id_col, text_col, n)
-    # all k hashes in one projection (array + posexplode) — no crossJoin,
-    # one pass over the shingle stream
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.md5(F.concat_ws("|", i.cast("string"), F.col("shingle"))))
-    return (sh.select("id", F.posexplode(hashes).alias("i", "h"))
-            .groupBy("id", "i").agg(F.min("h").alias("minh")))
+    aggs = [F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))))
+            .alias(f"h{i}") for i in range(k)]
+    return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
@@ -109,10 +110,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     """
     rows_per_band = k // bands
     sig = minhash_signatures(df, id_col, text_col, n, k)
-    banded = (sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-              .groupBy("id", "band")
-              .agg(F.concat_ws(",", F.array_sort(F.collect_list(
-                  F.concat_ws(":", F.col("i").cast("string"), "minh")))).alias("band_sig")))
+    # banding is a NARROW reshape of the wide signature (band_sig built
+    # by column concat; no groupBy) — zero extra shuffles before the
+    # bucket self-join
+    band_structs = []
+    for b in range(bands):
+        cols = [F.concat_ws(":", F.lit(str(i)), F.col(f"h{i}"))
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(F.struct(F.lit(b).alias("band"),
+                                     F.concat_ws(",", *cols).alias("band_sig")))
+    banded = (sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+              .select("id", F.col("bb.band").alias("band"),
+                      F.col("bb.band_sig").alias("band_sig")))
     ca = banded.select(F.col("id").alias("id_a"), "band", "band_sig")
     cb = banded.select(F.col("id").alias("id_b"), "band", "band_sig")
     cands = (ca.join(cb, ["band", "band_sig"])
@@ -224,5 +233,35 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
                       F.lit(0.0), lambda acc, x: acc + x)
     return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
+def embedding_cosine_pairs_bucketed(df: DataFrame, id_col: str, vec_col: str,
+                                    threshold: float = 0.95, n_planes: int = 4,
+                                    dim: int | None = None) -> DataFrame:
+    """Near-dup pairs with sign-LSH blocking: candidates = pairs sharing
+    the full sign bucket, verified exactly within the bucket. The bucket
+    equi-join replaces :func:`embedding_cosine_pairs`'s O(N²) cross
+    product — this is the shipped scale path (near-identical vectors
+    agree on every sign bit with prob ≥ 1 − n_planes·arccos(t)/π).
+    → (id_a, id_b, cos)."""
+    from .similarity import _dot, _norm, lsh_bucket_of, plane_weights
+
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = plane_weights(dim, n_planes)
+    withb = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        lsh_bucket_of(F.col(vec_col), planes).alias("bucket"))
+    a = withb.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"), "bucket")
+    b = withb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"), "bucket")
+    return (a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb"))
+                                       / (F.col("na") * F.col("nb")), 4))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))

@@ -54,17 +54,23 @@ FROM documents GROUP BY 1 ORDER BY content_key
 
 
 def q18_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs (threshold 0.2)."""
+    """n-gram Jaccard near-dup pairs (threshold 0.2), shipped WITH the
+    stop-shingle cap (max_doc_freq=20): shingles in >20 docs are dropped
+    before the self-join — they generate O(df²) candidate rows at scale
+    but can't push dissimilar docs over the threshold. The oracle applies
+    the identical HAVING filter, so both sides compute the same sets."""
     return (D.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text",
-                                  n=3, threshold=0.2)
+                                  n=3, threshold=0.2, max_doc_freq=20)
             .orderBy("id_a", "id_b"))
 
 
 SQL_Q18 = f"""
 WITH {_SQL_SHINGLES},
-sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20),
+shf AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT id, count(*) AS n_sh FROM shf GROUP BY id),
 common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+           FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
            GROUP BY a.id, b.id)
 SELECT id_a, id_b,
        round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
@@ -148,19 +154,31 @@ ORDER BY id_a, id_b
 
 
 def q21_embedding_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact pairwise baseline)."""
-    return (D.embedding_cosine_pairs(_embs(spark, sf_dir), "vec_id", "embedding",
-                                     threshold=0.9)
+    """Embedding-cosine near-dup pairs through sign-LSH blocking (the
+    scale path — bucket equi-join, no cross product; the exact pairwise
+    form stays available as the verification baseline). The oracle
+    applies the identical literal-plane bucket restriction."""
+    return (D.embedding_cosine_pairs_bucketed(
+                _embs(spark, sf_dir), "vec_id", "embedding",
+                threshold=0.9, n_planes=4)
             .orderBy("id_a", "id_b"))
 
 
-SQL_Q21 = """
+def sql_q21(dim: int) -> str:
+    planes = S.plane_weights(dim, 4)
+    return f"""
+WITH bk AS (SELECT vec_id,
+                   string_agg(CASE WHEN list_dot_product(embedding, w::DOUBLE[]) > 0
+                                   THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+            FROM embeddings, {_planes_sql(planes)} GROUP BY vec_id)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.embedding, b.embedding)
              / (sqrt(list_dot_product(a.embedding, a.embedding))
                 * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding, b.embedding)
+FROM embeddings a, embeddings b, bk ba, bk bb
+WHERE ba.vec_id = a.vec_id AND bb.vec_id = b.vec_id
+  AND a.vec_id < b.vec_id AND ba.bucket = bb.bucket
+  AND list_dot_product(a.embedding, b.embedding)
       / (sqrt(list_dot_product(a.embedding, a.embedding))
          * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.9
 ORDER BY id_a, id_b
@@ -385,7 +403,7 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q18_ngram_jaccard": (q18_ngram_jaccard, SQL_Q18),
     "q19_minhash_lsh": (q19_minhash_lsh, SQL_Q19),
     "q20_simhash_near_pairs": (q20_simhash_near_pairs, SQL_Q20),
-    "q21_embedding_dup_pairs": (q21_embedding_dup_pairs, SQL_Q21),
+    "q21_embedding_dup_pairs": (q21_embedding_dup_pairs, sql_q21(64)),
     "q22_cosine_topk": (q22_cosine_topk, SQL_Q22),
     "q23_lsh_bucket_histogram": (q23_lsh_bucket_histogram, sql_q23(64)),
     "q24_lsh_bucket_topk": (q24_lsh_bucket_topk, sql_q24(64)),

@@ -157,3 +157,17 @@ def test_lang_id_heuristic(spark):
         "doc_id long, text string")
     got = {r["id"]: r["lang_pred"] for r in T.lang_id(df, "doc_id", "text").collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_embedding_bucketed_pairs_subset_of_exact(embs):
+    """Blocked near-dup pairs must be a subset of the exact pairwise set
+    with identical cosines (precision = 1; blocking only affects recall)."""
+    exact = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in D.embedding_cosine_pairs(embs, "vec_id", "embedding",
+                                               threshold=0.8).collect()}
+    blocked = {(r["id_a"], r["id_b"]): r["cos"]
+               for r in D.embedding_cosine_pairs_bucketed(
+                   embs, "vec_id", "embedding", threshold=0.8).collect()}
+    assert set(blocked) <= set(exact)
+    for k, v in blocked.items():
+        assert exact[k] == v
