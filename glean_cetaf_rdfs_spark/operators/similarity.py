@@ -70,23 +70,62 @@ def lsh_bucket_of(vec_col, planes: list[list[int]]):
     return F.concat(*bits)
 
 
+def query_bucket(query: list[float], planes: list[list[int]]) -> str:
+    """Driver-side bucket key of a probe vector (same left-to-right
+    summation order as the column/SQL forms, so the bits agree)."""
+    return "".join(
+        "1" if sum(float(wi) * float(x) for wi, x in zip(w, query)) > 0 else "0"
+        for w in planes
+    )
+
+
+def _scored_topk(df: DataFrame, query: list[float], k: int) -> DataFrame:
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qn = float(np.sqrt(np.dot(query, query)))
+    return (df.withColumn("cos", F.round(_dot(F.col("v"), qlit)
+                                         / (_norm(F.col("v")) * F.lit(qn)), 4))
+            .select("id", "cos")
+            .orderBy(F.col("cos").desc(), F.col("id"))
+            .limit(k))
+
+
 def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
                     query: list[float], k: int = 10,
                     n_planes: int = 4) -> DataFrame:
     """Approximate top-k: restrict the exact scoring to the query's LSH
     bucket. → (id, cos). Recall is tested against cosine_topk in the
-    suite; more planes ⇒ smaller buckets ⇒ cheaper + lower recall."""
+    suite; more planes ⇒ smaller buckets ⇒ cheaper + lower recall.
+    Buckets are computed on the fly (full scan) — the pre-materialized
+    path is :func:`write_bucketed_embeddings` + :func:`bucketed_table_topk`."""
     planes = plane_weights(len(query), n_planes)
-    qbits = "".join(
-        "1" if sum(float(wi) * float(x) for wi, x in zip(w, query)) > 0 else "0"
-        for w in planes
-    )
     bucketed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                          lsh_bucket_of(F.col(vec_col), planes).alias("bucket"))
-    qlit = F.array(*[F.lit(float(x)) for x in query])
-    qn = float(np.sqrt(np.dot(query, query)))
-    return (bucketed.filter(F.col("bucket") == qbits)
-            .withColumn("cos", F.round(_dot(F.col("v"), qlit) / (_norm(F.col("v")) * F.lit(qn)), 4))
-            .select("id", "cos")
-            .orderBy(F.col("cos").desc(), F.col("id"))
-            .limit(k))
+    return _scored_topk(bucketed.filter(F.col("bucket") == query_bucket(query, planes)),
+                        query, k)
+
+
+def write_bucketed_embeddings(df: DataFrame, id_col: str, vec_col: str,
+                              path: str, n_planes: int = 4,
+                              dim: int | None = None) -> None:
+    """Materialize the ANN bucket table: (id, v) written
+    ``partitionBy("bucket")`` — the 100 TB path. Bucketing is paid ONCE
+    at write; every probe afterwards reads a single partition directory
+    (Catalyst partition pruning — ``PartitionFilters`` in the scan),
+    i.e. ~N/2^planes rows instead of a full scan."""
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = plane_weights(dim, n_planes)
+    (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+               lsh_bucket_of(F.col(vec_col), planes).alias("bucket"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def bucketed_table_topk(spark, path: str, query: list[float], k: int = 10,
+                        n_planes: int = 4) -> DataFrame:
+    """Probe the materialized bucket table: the ``bucket ==`` filter is a
+    partition-column predicate, so the scan touches only the probe
+    bucket's files. → (id, cos)."""
+    planes = plane_weights(len(query), n_planes)
+    pruned = (spark.read.parquet(path)
+              .filter(F.col("bucket") == query_bucket(query, planes)))
+    return _scored_topk(pruned, query, k)

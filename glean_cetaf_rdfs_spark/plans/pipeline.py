@@ -16,7 +16,12 @@ entity→canonical map (written alongside the graph table).
 
 from __future__ import annotations
 
+import atexit
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
 
 from ..operators.canonicalize import (
     annotate_canonical,
@@ -30,9 +35,24 @@ from ..operators.link import event_entities, link_entities
 from ..operators.materialize import finalize_triples
 
 
+def _stage_scratch(spark: SparkSession, temp_dir: str | None) -> str:
+    """App-scoped scratch path for the canonicalized stage table —
+    overwritten per build (bounded to ONE copy per SparkSession instead
+    of a leaked uuid-dir per run; /dev/shm is RAM) and removed at
+    interpreter exit."""
+    if temp_dir is not None:
+        path = f"{temp_dir}/kg_canon_{spark.sparkContext.applicationId}"
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        return path
+    from ..session import app_scratch_path
+
+    return app_scratch_path(spark, "kg_canon")
+
+
 def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None,
                   intermediate: str = "parquet",
-                  temp_dir: str | None = None) -> DataFrame:
+                  temp_dir: str | None = None,
+                  metrics: dict | None = None) -> DataFrame:
     """Plan for the final deduped (graph, subj, pred, obj, obj_is_iri).
 
     The extraction output fans out to ~8 consumers (canonical stream,
@@ -53,18 +73,31 @@ def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None,
     * ``intermediate="none"``: fully lazy — recomputed per branch.
     """
     annotated = annotate_canonical(extract_triples(transcripts))
+    if metrics is not None:
+        # validation-gate accounting (validateRDFs.sh:177-205 warn/error
+        # tallies): counters ride the existing write action via an
+        # Observation — no extra pass over the data. Populated once the
+        # stage materializes (parquet mode: below; else: first action).
+        import uuid
+
+        is_p4 = ~F.col("obj_is_iri") & (F.col("obj") == "")
+        obs = Observation(f"canon_{uuid.uuid4().hex}")
+        annotated = annotated.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.when(is_p4, 1).otherwise(0)).alias("n_p4"),
+            F.sum(F.when(F.col("is_technical"), 1).otherwise(0)).alias("n_p5"),
+        )
+        metrics["canon"] = obs
     if intermediate == "persist":
         from pyspark.storagelevel import StorageLevel
 
         annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
     elif intermediate == "parquet":
-        import uuid
-
-        from ..session import _scratch_dir
-
-        path = f"{temp_dir or _scratch_dir()}/kg_canon_{uuid.uuid4().hex}"
+        spark = transcripts.sparkSession
+        path = _stage_scratch(spark, temp_dir)
         annotated.write.mode("overwrite").parquet(path)
-        annotated = transcripts.sparkSession.read.parquet(path)
+        annotated = spark.read.parquet(path)
     canonical, sameas = split_canonical(annotated)
     spo = canonical.select("subj", "pred", "obj", "obj_is_iri")
     links = link_entities(spo, dict_df)
@@ -86,8 +119,30 @@ def build_canonical_map(transcripts: DataFrame) -> DataFrame:
 
 
 def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_path: str,
-                 dict_df: DataFrame | None = None) -> DataFrame:
-    final = build_triples(transcripts, dict_df)
+                 dict_df: DataFrame | None = None,
+                 lineage_path: str | None = None,
+                 run_id: str = "batch") -> DataFrame:
+    """Build + write the graph table; when ``lineage_path`` is given,
+    append the per-stage accounting rows every production run of the
+    reference produces (validateRDFs.sh:187-205): extraction row counts,
+    P4/P5 drop counts, and materialized output count."""
+    import uuid
+
     from ..operators.materialize import write_graph_table
+
+    metrics: dict | None = {} if lineage_path is not None else None
+    final = build_triples(transcripts, dict_df, metrics=metrics)
+    if lineage_path is not None:
+        obs_final = Observation(f"final_{uuid.uuid4().hex}")
+        final = final.observe(obs_final, F.count(F.lit(1)).alias("n"))
     write_graph_table(final, out_path)
+    if lineage_path is not None:
+        from ..streaming.checkpoint import _append_ckpt
+
+        canon = metrics["canon"].get
+        n_in, n_p4, n_p5 = int(canon["n_in"]), int(canon["n_p4"]), int(canon["n_p5"])
+        _append_ckpt(spark, lineage_path, run_id, "extract_canonicalize", "all",
+                     n_in, n_in - n_p4 - n_p5, n_p4 + n_p5, "done")
+        _append_ckpt(spark, lineage_path, run_id, "materialize", "all",
+                     n_in - n_p4 - n_p5, int(obs_final.get["n"]), 0, "done")
     return spark.read.parquet(out_path)

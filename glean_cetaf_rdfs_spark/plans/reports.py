@@ -21,6 +21,31 @@ def per_graph_report(triples: DataFrame) -> DataFrame:
             .orderBy("graph"))
 
 
+def progress_report(ckpt: DataFrame, run_id: str, n_buckets: int) -> DataFrame:
+    """A8 ETA / running throughput (get_RDF4domain_from_urilist_with_
+    ETA.sh:252-363: elapsed × remaining/done): derived from the lineage
+    table's ``done`` rows per stage — buckets done, rows/sec since the
+    first completion, and ETA seconds for the remaining buckets. The
+    reference recomputes this per worker slot; here it is one small
+    aggregation over the checkpoint table."""
+    done = (ckpt.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+            .groupBy("stage")
+            .agg(F.countDistinct("partition_key").alias("n_done"),
+                 F.sum("rows_out").cast("long").alias("rows_out"),
+                 F.min("updated_ts").alias("t_first"),
+                 F.max("updated_ts").alias("t_last")))
+    elapsed = (F.unix_timestamp("t_last") - F.unix_timestamp("t_first")).cast("double")
+    per_bucket = elapsed / F.greatest(F.col("n_done") - 1, F.lit(1))
+    remaining = F.greatest(F.lit(n_buckets) - F.col("n_done"), F.lit(0))
+    return done.select(
+        "stage", "n_done", remaining.alias("n_remaining"), "rows_out",
+        F.round(elapsed, 3).alias("elapsed_sec"),
+        F.round(F.col("rows_out") / F.greatest(elapsed, F.lit(1e-9)), 1)
+        .alias("rows_per_sec"),
+        F.round(per_bucket * remaining, 3).alias("eta_sec"),
+    ).orderBy("stage")
+
+
 def namespace_report(triples: DataFrame) -> DataFrame:
     """Predicate-namespace histogram + collision check (P8 analog): the
     reference merges xmlns headers with `sort --unique` and documents

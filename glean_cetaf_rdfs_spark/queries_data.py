@@ -269,6 +269,23 @@ ORDER BY cos DESC, id LIMIT 10
 """
 
 
+def q36_ann_bucket_scan(spark, sf_dir):
+    """Top-k probe against the MATERIALIZED bucket table (the 100 TB ANN
+    path): embeddings written partitionBy(bucket) once per session, probe
+    reads only the query's bucket directory (partition pruning). Same
+    semantics as q24 → same oracle SQL shape."""
+    import os
+
+    from .session import app_scratch_path
+
+    path = app_scratch_path(spark, f"ann_buckets_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        S.write_bucketed_embeddings(_embs(spark, sf_dir), "vec_id", "embedding",
+                                    path, n_planes=4)
+    return S.bucketed_table_topk(spark, path, _query_vec(spark, sf_dir), k=10,
+                                 n_planes=4)
+
+
 # --- text analysis ----------------------------------------------------------
 
 def q25_token_count(spark, sf_dir):
@@ -407,6 +424,7 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q22_cosine_topk": (q22_cosine_topk, SQL_Q22),
     "q23_lsh_bucket_histogram": (q23_lsh_bucket_histogram, sql_q23(64)),
     "q24_lsh_bucket_topk": (q24_lsh_bucket_topk, sql_q24(64)),
+    "q36_ann_bucket_scan": (q36_ann_bucket_scan, sql_q24(64)),
     "q25_token_count": (q25_token_count, SQL_Q25),
     "q26_quality_score": (q26_quality_score, SQL_Q26),
     "q27_lang_id": (q27_lang_id, SQL_Q27),

@@ -43,6 +43,24 @@ def _scratch_dir() -> str:
     return tempfile.gettempdir()
 
 
+_APP_SCRATCH_REGISTERED: set[str] = set()
+
+
+def app_scratch_path(spark: SparkSession, name: str) -> str:
+    """App-scoped scratch path ``<scratch>/<name>_<applicationId>`` —
+    bounded to one copy per SparkSession (overwritten on rebuild) and
+    removed at interpreter exit. /dev/shm is RAM; uuid-per-run paths leak
+    it across repeated bench/test runs."""
+    import atexit
+    import shutil
+
+    path = f"{_scratch_dir()}/{name}_{spark.sparkContext.applicationId}"
+    if path not in _APP_SCRATCH_REGISTERED:
+        _APP_SCRATCH_REGISTERED.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def get_spark(
     app_name: str = "glean_cetaf_rdfs_spark",
     master: str | None = None,

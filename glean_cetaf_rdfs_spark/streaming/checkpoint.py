@@ -72,6 +72,13 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame, out_path: str,
     reference similarly enriches per shard file). The final table is read
     with ``spark.read.parquet(out_path)`` — bucket subdirs are unified by
     partition discovery.
+
+    INVARIANT (weaker than the one-shot path): entity-level triples for
+    an entity mentioned in several buckets are physically duplicated
+    across ``bucket=K`` partitions — the unified read is set-equal to the
+    one-shot output but not row-unique. Run :func:`compact_buckets` once
+    after all buckets are done to restore the
+    ``dropDuplicates(graph,subj,pred,obj)`` invariant.
     """
     done = done_buckets(spark, ckpt_path, run_id)
     completed = 0
@@ -94,3 +101,18 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame, out_path: str,
         completed += 1
         if fail_after_bucket is not None and completed >= fail_after_bucket:
             raise RuntimeError(f"injected failure after bucket {b}")
+
+
+def compact_buckets(spark: SparkSession, bucketed_path: str,
+                    final_path: str) -> DataFrame:
+    """Cross-bucket compaction: one global
+    ``dropDuplicates(graph,subj,pred,obj)`` over the unified bucketed
+    output, rewritten as a flat graph table — restores the one-shot
+    path's row-uniqueness invariant (entity-level enrichment triples can
+    be physically duplicated across ``bucket=K`` partitions)."""
+    from ..operators.materialize import write_graph_table
+
+    unified = (spark.read.parquet(bucketed_path).drop("bucket")
+               .dropDuplicates(["graph", "subj", "pred", "obj"]))
+    write_graph_table(unified, final_path)
+    return spark.read.parquet(final_path)

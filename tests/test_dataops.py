@@ -171,3 +171,24 @@ def test_embedding_bucketed_pairs_subset_of_exact(embs):
     assert set(blocked) <= set(exact)
     for k, v in blocked.items():
         assert exact[k] == v
+
+
+def test_materialized_bucket_table_prunes_partitions(spark, embs, tmp_path):
+    """The ANN scale path: probe against the partitionBy(bucket) table
+    must (a) push the bucket filter into PartitionFilters — reading one
+    directory, not the table — and (b) return exactly lsh_bucket_topk's
+    answer (same math, same bucket)."""
+    q = [float(x) for x in
+         embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "buckets")
+    S.write_bucketed_embeddings(embs, "vec_id", "embedding", path, n_planes=4)
+    probe = S.bucketed_table_topk(spark, path, q, k=10, n_planes=4)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    planes = S.plane_weights(len(q), 4)
+    qb = S.query_bucket(q, planes)
+    assert qb in plan  # the literal bucket value reached the scan
+    want = [(r["id"], r["cos"]) for r in
+            S.lsh_bucket_topk(embs, "vec_id", "embedding", q, k=10).collect()]
+    got = [(r["id"], r["cos"]) for r in probe.collect()]
+    assert got == want
