@@ -90,6 +90,24 @@ def main() -> None:
     if kg_triples is not None:
         result["kg_triples"] = kg_triples
         result["kg_triples_per_sec"] = round(kg_triples / timings["kg_pipeline_count"], 1)
+
+    # north-rule two-cluster-size evidence, regenerated per round: the
+    # identical KG job at local[2] and local[8] in fresh subprocesses —
+    # the honest pair on this box (both legs CPU-bound; 4→16 saturates
+    # the single shared memory bus and 16→32 measures SMT siblings, see
+    # BENCH.md). Opt out with SPARK_GRAFT_SKIP_SCALING=1.
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        import subprocess
+        spark.stop()  # free the 32-thread JVM before measuring the legs
+        n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "96000"))
+        try:
+            out = subprocess.run(
+                [sys.executable, str(REPO / "tools" / "bench_scaling.py"),
+                 str(n_convs), "2", "1", "2"],
+                capture_output=True, text=True, timeout=1800, check=True)
+            result["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001 — bench must still print
+            result["scaling_error"] = str(e)[:300]
     print(json.dumps(result))
 
 

@@ -30,11 +30,19 @@ def with_salt(df: DataFrame, salt_from: Column, n_salts: int = 16,
     return df.withColumn(col_name, F.pmod(F.xxhash64(salt_from), F.lit(n_salts)))
 
 
+def _stable_salt_src(df: DataFrame) -> Column:
+    """Deterministic salt source: hash of the full row content — reruns
+    assign every row the same shard regardless of partition layout
+    (monotonically_increasing_id varies with it, violating the module's
+    idempotence contract)."""
+    return F.xxhash64(*[F.col(c) for c in df.columns])
+
+
 def salted_count(df: DataFrame, key: str, n_salts: int = 16,
                  salt_from: Column | None = None) -> DataFrame:
     """groupBy(key).count() in two phases for skewed keys:
     (key, salt) partial counts → merge. → (key, n)."""
-    salt_src = salt_from if salt_from is not None else F.monotonically_increasing_id()
+    salt_src = salt_from if salt_from is not None else _stable_salt_src(df)
     salted = with_salt(df, salt_src, n_salts)
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_n"))
     return partial.groupBy(key).agg(F.sum("_n").alias("n"))
@@ -58,6 +66,6 @@ def salted_join_small(big: DataFrame, small: DataFrame, key: str,
     key's rows spread across n_salts tasks instead of one straggler."""
     spark = big.sparkSession
     salts = spark.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
-    big_s = with_salt(big, F.monotonically_increasing_id(), n_salts)
+    big_s = with_salt(big, _stable_salt_src(big), n_salts)
     small_s = small.crossJoin(F.broadcast(salts))
     return big_s.join(small_s, [key, "_salt"], how).drop("_salt")

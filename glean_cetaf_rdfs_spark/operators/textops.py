@@ -86,33 +86,37 @@ def md5_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # --- rolling-hash winnowing fingerprint (pandas/Arrow stage) ---------------
 
-_B, _M, _WIN, _GRAM = 257, (1 << 61) - 1, 8, 16
+_B, _WIN, _GRAM = 257, 8, 16
 
 
 def winnow_py(text: str) -> list[int]:
-    """Karp-Rabin rolling hash over char 16-grams + winnowing (window
-    minimum) — the classic document-fingerprint scheme (Schleimer et al.,
-    SIGMOD'03). Pure function; used by the UDF and the tests."""
+    """Karp-Rabin hash over char 16-grams + winnowing (window minimum) —
+    the classic document-fingerprint scheme (Schleimer et al.,
+    SIGMOD'03). Pure function; used by the UDF and the tests.
+
+    Vectorized: per-gram hashes are one numpy sliding-window dot product
+    in natural uint64 wrap arithmetic (mod 2^64 — engine-internal
+    scheme), window minima one sliding-window ``min`` — the per-character
+    Python loop was the single slow Python hot path in round 1. Values
+    are returned as the two's-complement int64 view so they fit Spark's
+    ``long`` column."""
+    import numpy as np
+
     n = len(text)
     if n < _GRAM:
         return []
-    hashes = []
-    h = 0
-    pw = pow(_B, _GRAM - 1, _M)
-    for i, ch in enumerate(text):
-        h = (h * _B + ord(ch)) % _M
-        if i >= _GRAM:
-            h = (h - ord(text[i - _GRAM]) * pw * _B) % _M
-        if i >= _GRAM - 1:
-            hashes.append(h)
-    out = []
-    prev = None
-    for w in range(0, max(1, len(hashes) - _WIN + 1)):
-        m = min(hashes[w : w + _WIN])
-        if m != prev:
-            out.append(m)
-            prev = m
-    return out
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    powers = np.array([pow(_B, _GRAM - 1 - j, 1 << 64) for j in range(_GRAM)],
+                      dtype=np.uint64)
+    grams = np.lib.stride_tricks.sliding_window_view(codes, _GRAM)
+    hashes = (grams * powers).sum(axis=1, dtype=np.uint64)
+    if len(hashes) >= _WIN:
+        mins = np.lib.stride_tricks.sliding_window_view(hashes, _WIN).min(axis=1)
+    else:
+        mins = hashes.min(keepdims=True)
+    keep = np.ones(len(mins), dtype=bool)
+    keep[1:] = mins[1:] != mins[:-1]  # drop consecutive repeats
+    return mins[keep].view(np.int64).tolist()
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -45,6 +45,38 @@ def write_ntriples_text(triples: DataFrame, path: str,
      .write.mode(mode).option("compression", "gzip").text(path))
 
 
+def _serialized_obj():
+    from pyspark.sql import functions as F
+
+    return F.when(
+        F.col("obj_is_iri"), F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
+    ).otherwise(
+        F.concat(F.lit('"'),
+                 F.regexp_replace(F.regexp_replace(F.col("obj"), r"\\", r"\\\\"),
+                                  '"', r'\\"'),
+                 F.lit('"')))
+
+
+def write_trig_text(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6 — subject-grouped TriG-style serialization (the reference's
+    ``turtle --output=trig`` step, convertRDF4import_normal-files_
+    JACQ.sh:403): all predicates of one subject in a single
+    ``<subj> <pred> obj ; <pred> obj .`` block. One ``groupBy(graph,
+    subj)`` with a sorted collect (deterministic block content), written
+    as text partitioned by graph — the per-domain TriG chunk layout the
+    import stage posts per named graph (import_rdf2trig…sh:281; the
+    graph IRI rides the directory name)."""
+    from pyspark.sql import functions as F
+
+    po = F.concat(F.lit("<"), F.col("pred"), F.lit("> "), _serialized_obj())
+    grouped = (triples.groupBy("graph", "subj")
+               .agg(F.array_sort(F.collect_list(po)).alias("pos")))
+    block = F.concat(F.lit("<"), F.col("subj"), F.lit("> "),
+                     F.array_join("pos", " ;\n  "), F.lit(" ."))
+    (grouped.select("graph", block.alias("value"))
+     .write.mode(mode).partitionBy("graph").text(path))
+
+
 def append_lineage(df: DataFrame, path: str) -> None:
     """S10 — log/error side-channel → append-only lineage/metrics table
     (get_RDF4domain…:428-438; JACQ.sh:875-892)."""

@@ -62,3 +62,24 @@ def test_partitioned_shard_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 11
     assert {r["graph"] for r in back.select("graph").distinct().collect()} == {"g1", "g2"}
+
+
+def test_trig_subject_grouped_sink(spark, tmp_path):
+    from glean_cetaf_rdfs_spark.sources.sinks import write_trig_text
+
+    triples = spark.createDataFrame(
+        [("http://g1", "http://s/1", "http://p/a", "http://o", True),
+         ("http://g1", "http://s/1", "http://p/b", "lit", False),
+         ("http://g1", "http://s/2", "http://p/a", "http://o2", True),
+         ("http://g2", "http://s/3", "http://p/a", "http://o3", True)],
+        "graph string, subj string, pred string, obj string, obj_is_iri boolean")
+    out = str(tmp_path / "trig")
+    write_trig_text(triples, out)
+    back = spark.read.text(out + "/graph=http%3A%2F%2Fg1") \
+        if False else spark.read.option("basePath", out).text(out)
+    blocks = sorted("".join(r["value"] for r in back.collect()).split(" ."))
+    # s/1's two predicates share ONE block, ';'-separated, sorted
+    joined = [b for b in blocks if "s/1" in b]
+    assert len(joined) == 1
+    assert '<http://p/a> <http://o> ;' in joined[0]
+    assert '<http://p/b> "lit"' in joined[0]
