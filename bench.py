@@ -49,11 +49,20 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from glean_cetaf_rdfs_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{CPUS}]")
+    # heap pinned (-Xms) to avoid G1 resize churn. NO AlwaysPreTouch here:
+    # with 16 GB pre-touched, every Python-worker fork at local[32] copies
+    # the full page-table set — measured 24.8 s (vs 1.3 s) on the first
+    # mapInPandas query. The scaling legs (8/2 workers, forks in warm-up,
+    # outside the timed region) do use PreTouch.
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      extra_conf={"spark.driver.extraJavaOptions": "-Xms16g"})
     qs = entrymod.queries()
 
-    # warm the JVM/codegen paths once with the cheapest query
+    # warm the JVM/codegen paths once with the cheapest query, plus one
+    # tiny full-pipeline run (sf0.001) so q32 doesn't pay first-run
+    # codegen/worker-fork costs inside its measured time
     qs["q03_status_histogram"](spark, SF_DIR).collect()
+    qs["q32_kg_pipeline_predicates"](spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -103,7 +112,7 @@ def main() -> None:
         try:
             out = subprocess.run(
                 [sys.executable, str(REPO / "tools" / "bench_scaling.py"),
-                 str(n_convs), "2", "1", "2"],
+                 str(n_convs), "2", "2", "3"],
                 capture_output=True, text=True, timeout=1800, check=True)
             result["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
         except Exception as e:  # noqa: BLE001 — bench must still print

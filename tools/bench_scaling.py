@@ -31,8 +31,14 @@ n_convs = {n_convs}
 runs = {runs}
 # shuffle partitions sized to DATA (identical at both parallelism levels —
 # only core count differs between the legs); sizing them to cores makes
-# the low-core leg sort ~10M rows/partition and spill
-spark = get_spark("scal", master=f"local[{{cores}}]", shuffle_partitions=128)
+# the low-core leg sort ~10M rows/partition and spill.
+# Heap pinned (-Xms=-Xmx, pre-touched): with a lazily-grown heap the
+# 8-thread leg loses ~40% to G1 resize/GC contention (measured 49.8 s →
+# 29.0 s on the identical run); the 2-core leg is insensitive (117.7 s
+# either way). Same JVM options on both legs.
+spark = get_spark("scal", master=f"local[{{cores}}]", shuffle_partitions=128,
+                  extra_conf={{"spark.driver.extraJavaOptions":
+                               "-Xms16g -XX:+AlwaysPreTouch"}})
 # cache key includes a fixture-content tag so a generator change can't
 # silently reuse a stale input from an earlier round
 tag = hashlib.md5(str(gen_conversation(0)).encode()).hexdigest()[:8]
