@@ -277,12 +277,16 @@ def q13_round_cast(spark, sf_dir):
     (Spark BigDecimal HALF_UP vs DuckDB multiply-round), the reference's
     perl sprintf %.5f has the same caveat."""
     li = _t(spark, sf_dir, "lineitem")
+    # ORDER BY includes every output column: (l_orderkey, l_linenumber)
+    # is NOT unique in the synthetic lineitem, and a non-total sort +
+    # LIMIT lets the two engines pick different boundary rows
     return (li.select(
         "l_orderkey", "l_linenumber",
         F.round(F.col("l_extendedprice") * F.col("l_quantity"), 2).alias("charge"),
         F.round(F.col("l_discount") * 100, 0).cast("int").alias("disc_pct"),
         F.col("l_quantity").cast("int").alias("qty_int"),
-    ).orderBy("l_orderkey", "l_linenumber").limit(500))
+    ).orderBy("l_orderkey", "l_linenumber", "charge", "disc_pct", "qty_int")
+     .limit(500))
 
 
 SQL_Q13 = """
@@ -290,7 +294,8 @@ SELECT l_orderkey, l_linenumber,
        round(l_extendedprice * l_quantity, 2) AS charge,
        CAST(round(l_discount * 100, 0) AS INT) AS disc_pct,
        CAST(l_quantity AS INT) AS qty_int
-FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, charge, disc_pct, qty_int LIMIT 500
 """
 
 
