@@ -77,7 +77,7 @@ SELECT id_a, id_b,
 FROM common
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
 ORDER BY id_a, id_b
 """
 
@@ -90,8 +90,10 @@ def q19_minhash_lsh(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
-SQL_Q19 = f"""
-WITH {_SQL_SHINGLES},
+# shared chain: shingles → minhash sig → bands → candidates → verified
+# pairs(id_a, id_b, jaccard ≥ 0.2). Threshold applied on the ROUNDED
+# value — exactly what the engine filters on.
+_SQL_MINHASH_PAIRS = f"""{_SQL_SHINGLES},
 hs AS (SELECT unnest(range(0, 8)) AS i),
 sig AS (SELECT id, i,
                min(md5(concat(CAST(i AS VARCHAR), '|', shingle))) AS minh
@@ -108,14 +110,46 @@ common AS (SELECT c.id_a, c.id_b, count(*) AS n_common
            FROM cands c
            JOIN sh a ON a.id = c.id_a
            JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
-           GROUP BY c.id_a, c.id_b)
-SELECT id_a, id_b,
-       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
-FROM common
-JOIN sizes sa ON sa.id = id_a
-JOIN sizes sb ON sb.id = id_b
-WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
-ORDER BY id_a, id_b
+           GROUP BY c.id_a, c.id_b),
+pairs AS (SELECT id_a, id_b,
+                 round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.id = id_a
+          JOIN sizes sb ON sb.id = id_b
+          WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2)"""
+
+SQL_Q19 = f"""
+WITH {_SQL_MINHASH_PAIRS}
+SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
+"""
+
+
+def q37_dup_clusters_cc(spark, sf_dir):
+    """Duplicate clusters = connected components over the MinHash-LSH
+    near-dup pair graph — the north rule's canonicalization union-find
+    (large-star/small-star iterative joins) exercised end-to-end with a
+    DuckDB recursive-CTE oracle: every member maps to its component's
+    minimum doc_id."""
+    from .operators.cc import connected_components
+
+    pairs = D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                n=3, k=8, bands=4, verify_threshold=0.2)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(edges).orderBy("member")
+
+
+SQL_Q37 = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIRS},
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+)
+SELECT id AS member, min(r) AS canonical FROM reach GROUP BY id ORDER BY member
 """
 
 
@@ -178,9 +212,9 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a, embeddings b, bk ba, bk bb
 WHERE ba.vec_id = a.vec_id AND bb.vec_id = b.vec_id
   AND a.vec_id < b.vec_id AND ba.bucket = bb.bucket
-  AND list_dot_product(a.embedding, b.embedding)
-      / (sqrt(list_dot_product(a.embedding, a.embedding))
-         * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.9
+  AND round(list_dot_product(a.embedding, b.embedding)
+            / (sqrt(list_dot_product(a.embedding, a.embedding))
+               * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.9
 ORDER BY id_a, id_b
 """
 
@@ -420,6 +454,7 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q18_ngram_jaccard": (q18_ngram_jaccard, SQL_Q18),
     "q19_minhash_lsh": (q19_minhash_lsh, SQL_Q19),
     "q20_simhash_near_pairs": (q20_simhash_near_pairs, SQL_Q20),
+    "q37_dup_clusters_cc": (q37_dup_clusters_cc, SQL_Q37),
     "q21_embedding_dup_pairs": (q21_embedding_dup_pairs, sql_q21(64)),
     "q22_cosine_topk": (q22_cosine_topk, SQL_Q22),
     "q23_lsh_bucket_histogram": (q23_lsh_bucket_histogram, sql_q23(64)),
