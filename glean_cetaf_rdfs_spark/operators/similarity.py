@@ -120,6 +120,61 @@ def write_bucketed_embeddings(df: DataFrame, id_col: str, vec_col: str,
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
 
 
+# --- IVF-style ANN (coarse quantizer + probed list) ------------------------
+
+def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
+                  k_centroids: int = 8) -> dict[int, list[float]]:
+    """Deterministic stand-in coarse quantizer: centroids = the vectors
+    with ids < k (engine-portable; a production system would train
+    k-means here — the inverted-list partition/probe plumbing below is
+    identical either way)."""
+    rows = (df.filter(F.col(id_col) < k_centroids)
+            .select(id_col, vec_col).collect())
+    return {int(r[0]): [float(x) for x in r[1]] for r in rows}
+
+
+def _l2_to(vec_col, clit):
+    # |v|² − 2·v·c + |c|² with every dot a left-to-right fold — the same
+    # summation order as DuckDB's list_dot_product, so assignments agree
+    return (_dot(vec_col, vec_col) - 2 * _dot(vec_col, clit)
+            + _dot(clit, clit))
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               centroids: dict[int, list[float]]) -> DataFrame:
+    """→ (id, v, list_id): nearest centroid by L2, ties to the smallest
+    centroid id (array_min over (l2, j) structs — lexicographic)."""
+    v = F.col(vec_col)
+    structs = []
+    for j, c in sorted(centroids.items()):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        structs.append(F.struct(_l2_to(v, clit).alias("l2"),
+                                F.lit(j).alias("j")))
+    best = F.array_min(F.array(*structs))
+    return df.select(F.col(id_col).alias("id"), v.alias("v"),
+                     best["j"].alias("list_id"))
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
+             k: int = 10, k_centroids: int = 8, n_probe: int = 1) -> DataFrame:
+    """IVF probe: score only the ``n_probe`` inverted lists nearest to
+    the query — O(n_probe·N/k_centroids) dots instead of O(N). At scale
+    the assigned table is materialized partitionBy(list_id), same layout
+    as :func:`write_bucketed_embeddings`. → (id, cos)."""
+    cents = ivf_centroids(df, id_col, vec_col, k_centroids)
+
+    def l2_py(c):
+        vv = sum(x * x for x in query)
+        vc = sum(x * y for x, y in zip(query, c))
+        cc = sum(x * x for x in c)
+        return vv - 2 * vc + cc
+
+    probe = sorted(cents, key=lambda j: (l2_py(cents[j]), j))[:n_probe]
+    assigned = ivf_assign(df, id_col, vec_col, cents)
+    return _scored_topk(assigned.filter(F.col("list_id").isin(probe)),
+                        query, k)
+
+
 def bucketed_table_topk(spark, path: str, query: list[float], k: int = 10,
                         n_planes: int = 4) -> DataFrame:
     """Probe the materialized bucket table: the ``bucket ==`` filter is a

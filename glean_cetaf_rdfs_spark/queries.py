@@ -367,6 +367,24 @@ ORDER BY custkey
 """
 
 
+def q38_salted_count(spark, sf_dir):
+    """Skew-safe two-phase aggregation (north rule 'skew from hot
+    entities … salted repartitioning'; the reference load-spreads with
+    `shuf`, get_RDF4domain…:488): salted partial counts merged — result
+    identical to a plain GROUP BY, which is exactly what the oracle
+    checks."""
+    from .operators.skew import salted_count
+
+    ev = _t(spark, sf_dir, "events")
+    return (salted_count(ev, "user_id", n_salts=16)
+            .select(F.col("user_id"), F.col("n").cast("long").alias("n"))
+            .orderBy("user_id"))
+
+
+SQL_Q38 = ("SELECT user_id, count(*) AS n FROM events "
+           "GROUP BY user_id ORDER BY user_id")
+
+
 def q35_deterministic_shuffle(spark, sf_dir):
     """randomized work order (O3 — the reference's seeded `shuf -r` load
     spreading, get_RDF4domain…:488): deterministic 'random' permutation by
@@ -406,4 +424,5 @@ RELATIONAL_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q33_except": (q33_except, SQL_Q33),
     "q34_intersect": (q34_intersect, SQL_Q34),
     "q35_deterministic_shuffle": (q35_deterministic_shuffle, SQL_Q35),
+    "q38_salted_count": (q38_salted_count, SQL_Q38),
 }

@@ -320,6 +320,40 @@ def q36_ann_bucket_scan(spark, sf_dir):
                                  n_planes=4)
 
 
+def q39_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: deterministic coarse quantizer (centroids =
+    vec_id < 8), nearest-list probe, exact cosine top-k within the
+    probed list — the second ANN family next to sign-LSH (q23/q24/q36).
+    Oracle reproduces the same assignment argmin in SQL."""
+    return S.ivf_topk(_embs(spark, sf_dir), "vec_id", "embedding",
+                      _query_vec(spark, sf_dir), k=10, k_centroids=8,
+                      n_probe=1)
+
+
+SQL_Q39 = """
+WITH c AS (SELECT vec_id AS j, embedding AS cv FROM embeddings WHERE vec_id < 8),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (SELECT j, list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+              + list_dot_product(cv, cv) AS l2 FROM q, c),
+qa AS (SELECT min(j) AS qlist FROM qd WHERE l2 = (SELECT min(l2) FROM qd)),
+d AS (SELECT e.vec_id, c.j,
+             list_dot_product(e.embedding, e.embedding)
+             - 2 * list_dot_product(e.embedding, c.cv)
+             + list_dot_product(c.cv, c.cv) AS l2
+      FROM embeddings e, c),
+m AS (SELECT vec_id, min(l2) AS ml FROM d GROUP BY vec_id),
+a AS (SELECT d.vec_id, min(d.j) AS list_id
+      FROM d JOIN m ON d.vec_id = m.vec_id AND d.l2 = m.ml GROUP BY d.vec_id)
+SELECT e.vec_id AS id,
+       round(list_dot_product(e.embedding, q.qv)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+FROM embeddings e, q, qa, a
+WHERE a.vec_id = e.vec_id AND a.list_id = qa.qlist
+ORDER BY cos DESC, id LIMIT 10
+"""
+
+
 # --- text analysis ----------------------------------------------------------
 
 def q25_token_count(spark, sf_dir):
@@ -460,6 +494,7 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q23_lsh_bucket_histogram": (q23_lsh_bucket_histogram, sql_q23(64)),
     "q24_lsh_bucket_topk": (q24_lsh_bucket_topk, sql_q24(64)),
     "q36_ann_bucket_scan": (q36_ann_bucket_scan, sql_q24(64)),
+    "q39_ivf_topk": (q39_ivf_topk, SQL_Q39),
     "q25_token_count": (q25_token_count, SQL_Q25),
     "q26_quality_score": (q26_quality_score, SQL_Q26),
     "q27_lang_id": (q27_lang_id, SQL_Q27),

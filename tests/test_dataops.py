@@ -192,3 +192,23 @@ def test_materialized_bucket_table_prunes_partitions(spark, embs, tmp_path):
             S.lsh_bucket_topk(embs, "vec_id", "embedding", q, k=10).collect()]
     got = [(r["id"], r["cos"]) for r in probe.collect()]
     assert got == want
+
+
+def test_ivf_topk_subset_of_exact(embs):
+    """IVF probe results must carry exact cosine scores (subset of the
+    brute-force ranking) and include the query vector itself (its own
+    list is always probed)."""
+    q = [float(x) for x in
+         embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["id"]: r["cos"]
+             for r in S.cosine_topk(embs, "vec_id", "embedding", q, k=50).collect()}
+    got = S.ivf_topk(embs, "vec_id", "embedding", q, k=10).collect()
+    assert got and got[0]["id"] == 0  # query lands in its probed list
+    for r in got:
+        if r["id"] in exact:
+            assert r["cos"] == exact[r["id"]]
+    # more probes -> recall can only grow
+    one = {r["id"] for r in got}
+    three = {r["id"] for r in
+             S.ivf_topk(embs, "vec_id", "embedding", q, k=10, n_probe=3).collect()}
+    assert len(three & set(exact)) >= len(one & set(exact)) - 1

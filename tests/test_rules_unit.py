@@ -146,3 +146,43 @@ def test_media_literal_retype_p19():
     assert ("https://media.example:443/img/1.jpg",
             "http://www.w3.org/2002/07/owl#sameAs",
             "https://media.example/img/1.jpg", True) in got
+
+
+def test_canonicalize_col_parity_adversarial(spark):
+    """Column form ≡ python form on adversarial inputs — guards against
+    engine/oracle divergence of the kind the anchored-scheme-strip bug
+    showed (embedded URLs, escapes, ports, doubles, unicode)."""
+    from pyspark.sql import functions as F
+
+    from glean_cetaf_rdfs_spark.functions.uri import (
+        canonicalize_col,
+        canonicalize_py,
+        match_keys_col,
+        match_keys_py,
+        url_domain_col,
+        url_domain_py,
+    )
+
+    urls = [
+        "http://a.example/r?to=http://b.example/x",      # embedded URL
+        "https://a.example:443/p?x=1&amp;y=2",           # port + &amp;
+        "http://dup.example/r/9http://dup.example/r/9",  # doubled
+        "http://dup.example/r/9http://dup.example/r/8",  # NOT doubled
+        "https://m.wikidata.org/wiki/Q5",
+        "http://viaf.org/viaf/123/#frag",
+        "http://d.example/a b/c^d`e\\f[g]h",             # illegal chars
+        "http://x.example:8080/a/b/c/d/e",               # deep path, odd port
+        "http://tun.example/a?format=X",                 # technical
+        "http://üml.example/p",                     # unicode host
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = df.select(
+        "u",
+        canonicalize_col(F.col("u")).alias("canon"),
+        url_domain_col(F.col("u")).alias("dom"),
+        match_keys_col(F.col("u")).alias("keys"),
+    ).collect()
+    for r in got:
+        assert r["canon"] == canonicalize_py(r["u"]), r["u"]
+        assert r["dom"] == url_domain_py(r["u"]), r["u"]
+        assert list(r["keys"]) == match_keys_py(r["u"]), r["u"]
