@@ -38,10 +38,13 @@ HEADLINE = [
     "q21_embedding_dup_pairs",
     "q22_cosine_topk",
     "q23_lsh_bucket_histogram",
+    "q24_lsh_bucket_topk",
     "q25_token_count",
     "q28_fingerprint",
     "q30_multimodal_metadata",
     "q32_kg_pipeline_predicates",
+    "q37_dup_clusters_cc",
+    "q39_ivf_topk",
 ]
 
 

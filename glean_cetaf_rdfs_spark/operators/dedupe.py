@@ -63,12 +63,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     """
     sh = word_shingles(df, id_col, text_col, n)
     if max_doc_freq is not None:
+        # merge hint: the shingle-frequency table scales WITH the corpus —
+        # never a broadcast candidate at real scale, and broadcasting the
+        # ~50 MB build side here was the bench's biggest variance source
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
+        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq).hint("merge"),
+                     "shingle").drop("df_")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (a.join(b, "shingle")
+    common = (a.join(b.hint("merge"), "shingle")  # big×big: shuffle, not broadcast
               .filter(F.col("id_a") < F.col("id_b"))
               .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -124,7 +128,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                       F.col("bb.band_sig").alias("band_sig")))
     ca = banded.select(F.col("id").alias("id_a"), "band", "band_sig")
     cb = banded.select(F.col("id").alias("id_b"), "band", "band_sig")
-    cands = (ca.join(cb, ["band", "band_sig"])
+    # banded stream and shingle stream scale with the corpus — merge
+    # hints keep these joins shuffled (the honest big×big plan) instead
+    # of broadcasting ~50 MB build sides under the session's dim-table
+    # threshold
+    cands = (ca.join(cb.hint("merge"), ["band", "band_sig"])
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").distinct())
 
@@ -132,7 +140,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (cands.join(a, "id_a").join(b, ["id_b", "shingle"])
+    common = (cands.join(a.hint("merge"), "id_a")
+              .join(b.hint("merge"), ["id_b", "shingle"])
               .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))

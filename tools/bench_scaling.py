@@ -6,7 +6,7 @@ and scaling efficiency (throughput_4N / throughput_N) / 4.
 Each level runs in a fresh subprocess (one SparkSession per JVM).
 
 Usage: python tools/bench_scaling.py [n_convs] [N]
-Writes JSON to stdout; tools/write_bench_md.py renders BENCH.md.
+Writes JSON to stdout (one line); BENCH.md records the curated results.
 """
 
 from __future__ import annotations
