@@ -68,3 +68,40 @@ def streaming_turn_rate(spark: SparkSession, input_dir: str,
             .withWatermark("ts", "1 day")
             .groupBy(F.window("ts", window), "role")
             .agg(F.count(F.lit(1)).alias("n_turns")))
+
+
+def conversation_progress_stream(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-
+    conversation running accumulator — turn count, first/last event time,
+    mention count — updated incrementally as turn micro-batches arrive.
+    The streaming-native form of the reference's per-domain harvest
+    Done-table (doc/JACQ/JACQ-import-to-GRAPH_20220815.md:211-237):
+    progress is queryable while ingest runs instead of reconstructed from
+    logs afterwards. State is Arrow-batched per group; output mode
+    'update' emits one snapshot row per touched conversation per batch.
+    → (conv_id, n_turns, first_ts, last_ts, n_mentions)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("conv_id string, n_turns long, first_ts timestamp, "
+                  "last_ts timestamp, n_mentions long")
+    state_schema = ("n_turns long, first_ts timestamp, last_ts timestamp, "
+                    "n_mentions long")
+
+    def update(key, pdfs, state):
+        (conv_id,) = key
+        n, first, last, ment = state.get if state.exists else (0, None, None, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            ment += int(pdf["text"].str.count("https?://").sum())
+            lo, hi = pdf["ts"].min(), pdf["ts"].max()
+            first = lo if first is None else min(first, lo)
+            last = hi if last is None else max(last, hi)
+        state.update((n, first, last, ment))
+        yield pd.DataFrame([{"conv_id": conv_id, "n_turns": n,
+                             "first_ts": first, "last_ts": last,
+                             "n_mentions": ment}])
+
+    return (stream.groupBy("conv_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

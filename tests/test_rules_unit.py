@@ -186,3 +186,35 @@ def test_canonicalize_col_parity_adversarial(spark):
         assert r["canon"] == canonicalize_py(r["u"]), r["u"]
         assert r["dom"] == url_domain_py(r["u"]), r["u"]
         assert list(r["keys"]) == match_keys_py(r["u"]), r["u"]
+
+
+def test_canonicalize_col_parity_property(spark):
+    """Property-based engine↔oracle parity: hypothesis-generated URL-ish
+    strings (schemes, ports, escapes, doubles, unicode, illegal chars)
+    must canonicalize identically in the Column form and the pure-Python
+    form — the single-source-of-truth invariant the golden suite relies
+    on, exercised beyond the fixture distribution."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from glean_cetaf_rdfs_spark.functions.uri import canonicalize_col, canonicalize_py
+
+    host = st.sampled_from(["a.example", "viaf.org", "www.wikidata.org",
+                            "m.wikidata.org", "ipni.example", "üml.example"])
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+    path = st.text(alphabet="ab/ ^`\\[]&;=Q123%.", min_size=0, max_size=24)
+    scheme = st.sampled_from(["http", "https"])
+    url = st.builds(lambda s, h, p, t: f"{s}://{h}{p}/{t}", scheme, host, port, path)
+    doubled = url.map(lambda u: u + u)
+    cases = st.lists(st.one_of(url, doubled, st.just("")), min_size=1, max_size=24)
+
+    @settings(max_examples=20, deadline=None)
+    @given(cases)
+    def check(urls):
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        got = df.select("u", canonicalize_col(F.col("u")).alias("c")).collect()
+        for r in got:
+            assert r["c"] == canonicalize_py(r["u"]), repr(r["u"])
+
+    check()

@@ -64,3 +64,34 @@ def test_stream_schema(spark, tmp_path):
     assert s.isStreaming
     assert [f.name for f in s.schema.fields] == [
         "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_stateful_conversation_progress(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: each
+    conversation's turns are split over two files, processed one file per
+    trigger — the SECOND snapshot must include the FIRST batch's counts
+    (state carried), and the final counts must equal the batch totals."""
+    from glean_cetaf_rdfs_spark.streaming.ingest import conversation_progress_stream
+
+    inp = str(tmp_path / "in")
+    pdf = transcripts_pdf(6)
+    _write_batch(spark, pdf[pdf["turn_idx"] % 2 == 0], inp)
+    _write_batch(spark, pdf[pdf["turn_idx"] % 2 == 1], inp)
+
+    stream = stream_transcripts(spark, inp, max_files_per_trigger=1)
+    prog = conversation_progress_stream(stream)
+    q = (prog.writeStream.outputMode("update")
+         .format("memory").queryName("conv_prog")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM conv_prog").collect()
+
+    latest: dict[str, int] = {}
+    snaps: dict[str, int] = {}
+    for r in rows:
+        latest[r["conv_id"]] = max(latest.get(r["conv_id"], 0), r["n_turns"])
+        snaps[r["conv_id"]] = snaps.get(r["conv_id"], 0) + 1
+    want = pdf.groupby("conv_id").size().to_dict()
+    assert latest == want
+    # state carried across micro-batches: conversations got ≥2 snapshots
+    assert max(snaps.values()) >= 2
