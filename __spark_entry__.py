@@ -26,12 +26,42 @@ from glean_cetaf_rdfs_spark.queries_data import DATA_QUERIES  # noqa: E402
 
 _KG_SCALE = {"sf0.001": 60, "sf0.01": 400, "sf0.1": 2500}
 
+# Frozen golden for q32 from the INDEPENDENT pure-Python rule oracle
+# (glean_cetaf_rdfs_spark.oracle.oracle_triples) at the driver's
+# correctness scale (sf0.01 → 400 conversations). The engine is asserted
+# exactly equal to that oracle in pytest (test_pipeline_golden), and
+# tests/test_entry_contract.py REGENERATES these numbers from the oracle
+# every run — any drift fails the suite before it can reach the driver.
+_Q32_ORACLE_ROWS = [
+    ("http://purl.org/dc/terms/conformsTo", 3238),
+    ("http://purl.org/dc/terms/created", 5667),
+    ("http://purl.org/dc/terms/hasPart", 547),
+    ("http://purl.org/dc/terms/isPartOf", 14208),
+    ("http://purl.org/dc/terms/publisher", 423),
+    ("http://rs.tdwg.org/dwc/iri/recordedBy", 547),
+    ("http://rs.tdwg.org/dwc/terms/associatedMedia", 446),
+    ("http://rs.tdwg.org/dwc/terms/collectionCode", 717),
+    ("http://rs.tdwg.org/dwc/terms/institutionID", 3510),
+    ("http://schema.org/mentions", 8048),
+    ("http://schema.org/roleName", 5667),
+    ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 6120),
+    ("http://www.w3.org/2002/07/owl#sameAs", 3744),
+    ("http://www.w3.org/2003/01/geo/wgs84_pos#lat", 1038),
+    ("http://www.w3.org/2003/01/geo/wgs84_pos#long", 1038),
+    ("http://www.w3.org/ns/prov#used", 1600),
+]
+
+_Q32_SQL = ("SELECT pred, CAST(n_triples AS BIGINT) AS n_triples FROM (VALUES "
+            + ", ".join(f"('{p}', {n})" for p, n in _Q32_ORACLE_ROWS)
+            + ") t(pred, n_triples) ORDER BY pred")
+
 
 def _kg_pipeline_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship KG pipeline (rows-only: transcripts aren't DuckDB views;
-    exactness is pytest-asserted against the pure-Python oracle): run the
-    full extract→canonicalize→link→enrich→dedupe plan over deterministic
-    synthetic transcripts sized to the sf, count triples per predicate."""
+    """Flagship KG pipeline: run the full extract→canonicalize→link→
+    enrich→dedupe plan over deterministic synthetic transcripts sized to
+    the sf, count triples per predicate. Oracle = frozen VALUES from the
+    independent pure-Python rule oracle at sf0.01 (see _Q32_ORACLE_ROWS;
+    drift-guarded in pytest)."""
     from glean_cetaf_rdfs_spark.data.synthetic import transcripts_df
     from glean_cetaf_rdfs_spark.plans.pipeline import build_triples
 
@@ -77,4 +107,5 @@ def oracle_sql() -> dict[str, str]:
         for name, (_fn, sql) in reg.items():
             if sql is not None:
                 out[name] = sql
+    out["q32_kg_pipeline_predicates"] = _Q32_SQL
     return out

@@ -27,6 +27,19 @@ def test_rows_only_queries_are_the_documented_ones():
     qs, sqls = E.queries(), E.oracle_sql()
     rows_only = set(qs) - set(sqls)
     assert rows_only == {
-        "q29_winnow_fingerprint",      # per-char rolling hash: pytest golden
-        "q32_kg_pipeline_predicates",  # transcripts aren't DuckDB views
+        "q29_winnow_fingerprint",  # engine-internal rolling hash: pytest golden
     }
+
+
+def test_q32_frozen_oracle_matches_python_oracle():
+    """The frozen VALUES oracle shipped for q32 must equal the predicate
+    counts freshly derived from the independent pure-Python rule oracle
+    at the driver's correctness scale (400 convs = sf0.01) — any rule or
+    fixture drift fails here before it can hash-fail at the driver."""
+    from collections import Counter
+
+    from glean_cetaf_rdfs_spark.data.synthetic import transcripts_pdf
+    from glean_cetaf_rdfs_spark.oracle import oracle_triples
+
+    c = Counter(p for _, _, p, _, _ in oracle_triples(transcripts_pdf(400)))
+    assert sorted(c.items()) == E._Q32_ORACLE_ROWS
