@@ -45,6 +45,8 @@ def fix_text(text: str) -> str:
       then the parser discards comment content — net semantics: comment
       content is never data, so URLs inside comments are not mentions.
     """
+    if "<!" not in text:  # cheap guard (the reference's grep-before-sed)
+        return text
     text = _HTML_BLOB.sub(" ", text)
     return _XML_COMMENT.sub(" ", text)
 
@@ -53,6 +55,8 @@ def extract_media(text: str) -> tuple[list[str], str]:
     """``media="<url>"`` quoted-literal media references → URL-valued
     literals, retyped to IRIs at canonicalization (P19 — JACQ.sh:846-855,
     issue #12). Returns (urls, text_without_those_spans)."""
+    if 'media="' not in text:
+        return [], text
     out: list[str] = []
 
     def _take(m: re.Match) -> str:
@@ -74,6 +78,8 @@ def extract_recorded_by(text: str) -> tuple[list[str], str]:
     convertRDF4import_normal-files_JACQ.sh:446-447). Returns
     (urls, text_without_those_spans) so the mention matcher can't
     re-match the same URL as a plain mention."""
+    if "recordedby=" not in text:
+        return [], text
     out: list[str] = []
 
     def _take(m: re.Match) -> str:
@@ -92,9 +98,10 @@ def extract_urls(text: str) -> list[str]:
     def _take(m: re.Match) -> str:
         out.append(("bracket", m.group(1)))
         return " "
-    rest = _BRACKET_URL.sub(_take, text)
-    for m in _BARE_URL.finditer(rest):
-        out.append(("bare", m.group(1)))
+    rest = _BRACKET_URL.sub(_take, text) if "<http" in text else text
+    if "http" in rest:
+        for m in _BARE_URL.finditer(rest):
+            out.append(("bare", m.group(1)))
     return [u for _, u in out]
 
 
@@ -102,6 +109,8 @@ def extract_coords(text: str) -> list[tuple[str, str]]:
     """(lat, long) literal pairs, rounded per the reference rule: literals
     with ≥6 decimals are reformatted to 5 dp (perl sprintf %.5f,
     JACQ.sh:390-395); shorter literals pass through verbatim."""
+    if "lat=" not in text:
+        return []
     return [(round_decimal_literal(m.group(1)), round_decimal_literal(m.group(2)))
             for m in _COORDS.finditer(text)]
 
@@ -114,12 +123,14 @@ def round_decimal_literal(lit: str) -> str:
 
 
 def extract_collection_codes(text: str) -> list[str]:
+    if "collection " not in text:
+        return []
     return _COLLECTION.findall(text)
 
 
 def has_empty_note(text: str) -> bool:
-    return _EMPTY_NOTE.search(text) is not None
+    return 'note=""' in text  # the pattern is a literal
 
 
 def is_event_marked(text: str) -> bool:
-    return _EVENT.search(text) is not None
+    return "eventtype=Event" in text and _EVENT.search(text) is not None
