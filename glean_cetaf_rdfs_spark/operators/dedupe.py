@@ -25,6 +25,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _join_build_side(df: DataFrame, scale_hints: bool) -> DataFrame:
+    """Join-strategy knob for the big×big self-joins below.
+
+    ``scale_hints=True`` is the corpus-scale contract: force sort-merge
+    (``merge`` hint) because both sides scale with the corpus and are
+    never broadcast candidates at 100 TB. At bench/test scale the same
+    hint makes Spark sort KB-sized build sides — measured +17 s on q18 at
+    sf0.1 in round 2 — so the default is ``shuffle_hash``: still a
+    shuffled (non-broadcast) plan with no driver-memory spike and no
+    sort, and the plan shape AQE would pick for mid-sized sides anyway.
+    """
+    return df.hint("merge" if scale_hints else "shuffle_hash")
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     """Exact dedup by content hash: → (content_key, keep_id, n_copies).
     keep_id = min id per group (deterministic survivor pick)."""
@@ -52,7 +66,8 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                         threshold: float = 0.5,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        scale_hints: bool = False) -> DataFrame:
     """Exact pairwise Jaccard over word n-gram shingle sets:
     → (id_a, id_b, jaccard) for pairs ≥ threshold, id_a < id_b.
 
@@ -60,19 +75,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     this many docs before the self-join — they generate O(df²) candidate
     rows but cannot push Jaccard of dissimilar docs over a high
     threshold. None = exact (used for the oracle-checked query).
+    ``scale_hints``: see :func:`_join_build_side` — pass True at corpus
+    scale to force sort-merge on the self-joins.
     """
     sh = word_shingles(df, id_col, text_col, n)
     if max_doc_freq is not None:
-        # merge hint: the shingle-frequency table scales WITH the corpus —
-        # never a broadcast candidate at real scale, and broadcasting the
-        # ~50 MB build side here was the bench's biggest variance source
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq).hint("merge"),
+        sh = sh.join(_join_build_side(freq.filter(F.col("df_") <= max_doc_freq),
+                                      scale_hints),
                      "shingle").drop("df_")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (a.join(b.hint("merge"), "shingle")  # big×big: shuffle, not broadcast
+    common = (a.join(_join_build_side(b, scale_hints), "shingle")
               .filter(F.col("id_a") < F.col("id_b"))
               .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -104,7 +119,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                       k: int = 8, bands: int = 4,
-                      verify_threshold: float = 0.5) -> DataFrame:
+                      verify_threshold: float = 0.5,
+                      scale_hints: bool = False) -> DataFrame:
     """MinHash + banded LSH blocking + exact-Jaccard verification.
 
     signature → ``bands`` bands of k/bands rows; docs sharing any band
@@ -128,11 +144,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                       F.col("bb.band_sig").alias("band_sig")))
     ca = banded.select(F.col("id").alias("id_a"), "band", "band_sig")
     cb = banded.select(F.col("id").alias("id_b"), "band", "band_sig")
-    # banded stream and shingle stream scale with the corpus — merge
-    # hints keep these joins shuffled (the honest big×big plan) instead
-    # of broadcasting ~50 MB build sides under the session's dim-table
-    # threshold
-    cands = (ca.join(cb.hint("merge"), ["band", "band_sig"])
+    # banded stream and shingle stream scale with the corpus — never
+    # broadcast candidates at real scale; _join_build_side picks the
+    # shuffled strategy appropriate to the run (merge at corpus scale,
+    # shuffle-hash at bench/test scale)
+    cands = (ca.join(_join_build_side(cb, scale_hints), ["band", "band_sig"])
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").distinct())
 
@@ -140,8 +156,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (cands.join(a.hint("merge"), "id_a")
-              .join(b.hint("merge"), ["id_b", "shingle"])
+    common = (cands.join(_join_build_side(a, scale_hints), "id_a")
+              .join(_join_build_side(b, scale_hints), ["id_b", "shingle"])
               .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -248,28 +264,49 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 def embedding_cosine_pairs_bucketed(df: DataFrame, id_col: str, vec_col: str,
                                     threshold: float = 0.95, n_planes: int = 4,
+                                    n_bands: int = 1,
                                     dim: int | None = None) -> DataFrame:
-    """Near-dup pairs with sign-LSH blocking: candidates = pairs sharing
-    the full sign bucket, verified exactly within the bucket. The bucket
-    equi-join replaces :func:`embedding_cosine_pairs`'s O(N²) cross
-    product — this is the shipped scale path (near-identical vectors
-    agree on every sign bit with prob ≥ 1 − n_planes·arccos(t)/π).
-    → (id_a, id_b, cos)."""
+    """Near-dup pairs with banded sign-LSH blocking — the shipped scale
+    path replacing :func:`embedding_cosine_pairs`'s O(N²) cross product.
+
+    OR-amplification across ``n_bands`` independent ``n_planes``-plane
+    sign buckets (the minhash banding construction applied to random
+    hyperplanes): a pair becomes a candidate if it shares ANY band's full
+    bucket, then candidates are verified with the exact cosine. With
+    p = P(one sign bit agrees) = 1 − θ/π, pair recall is
+    1 − (1 − p^n_planes)^n_bands — at cos 0.9, 4 planes × 4 bands gives
+    ≈0.97 vs ≈0.54 for the single AND-only bucket (the round-2 defect).
+    Candidate volume stays bucket-bounded: the per-band equi-join is the
+    same shuffle as before, ×n_bands, with a distinct before the exact
+    verify so no pair is scored twice. → (id_a, id_b, cos)."""
     from .similarity import _dot, _norm, lsh_bucket_of, plane_weights
 
     if dim is None:
         dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-    planes = plane_weights(dim, n_planes)
-    withb = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-        lsh_bucket_of(F.col(vec_col), planes).alias("bucket"))
-    a = withb.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                     F.col("nrm").alias("na"), "bucket")
-    b = withb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                     F.col("nrm").alias("nb"), "bucket")
-    return (a.join(b, "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
+    planes = plane_weights(dim, n_bands * n_planes)
+    withn = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      _norm(F.col(vec_col)).alias("nrm"))
+    # one narrow pass computes every band's bucket; explode → (id, band,
+    # bucket) so all bands share a single self-join (no plan duplication)
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 lsh_bucket_of(F.col("v"), planes[b * n_planes:(b + 1) * n_planes])
+                 .alias("bucket"))
+        for b in range(n_bands)
+    ]
+    banded = (withn.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+              .select("id", F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket")))
+    ca = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    cb = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cands = (ca.join(cb, ["band", "bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    a = withn.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    b = withn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    return (cands.join(a, "id_a").join(b, "id_b")
             .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb"))
                                        / (F.col("na") * F.col("nb")), 4))
             .filter(F.col("cos") >= threshold)

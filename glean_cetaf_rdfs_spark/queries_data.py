@@ -1,8 +1,9 @@
 """Driver-contract queries for the training-data operators (dedup,
 similarity search, text analysis, multimodal) — each a thin adapter over
 the package operator plus a DuckDB oracle where the semantics are
-SQL-expressible. Only winnowing (per-char rolling hash) stays rows-only
-here; it is golden-tested in pytest instead.
+SQL-expressible. Winnowing (rolling hash — not SQL-expressible) is
+oracle-checked through frozen VALUES generated from its pure-Python
+form, drift-guarded in pytest.
 """
 
 from __future__ import annotations
@@ -188,31 +189,40 @@ ORDER BY id_a, id_b
 
 
 def q21_embedding_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs through sign-LSH blocking (the
-    scale path — bucket equi-join, no cross product; the exact pairwise
-    form stays available as the verification baseline). The oracle
-    applies the identical literal-plane bucket restriction."""
+    """Embedding-cosine near-dup pairs through BANDED sign-LSH blocking
+    (the scale path — per-band bucket equi-joins, no cross product; the
+    exact pairwise form stays available as the verification baseline).
+    4 bands × 4 planes: OR-amplification lifts pair recall at cos 0.9
+    from ≈0.54 (the round-2 single-bucket form) to ≈0.97; recall vs the
+    exact baseline is asserted in test_dataops. The oracle applies the
+    identical literal-plane banded candidate restriction."""
     return (D.embedding_cosine_pairs_bucketed(
                 _embs(spark, sf_dir), "vec_id", "embedding",
-                threshold=0.9, n_planes=4)
+                threshold=0.9, n_planes=4, n_bands=4)
             .orderBy("id_a", "id_b"))
 
 
 def sql_q21(dim: int) -> str:
-    planes = S.plane_weights(dim, 4)
+    # 16 planes = 4 bands × 4 planes, band = j // 4; string_agg ORDER BY j
+    # inside a band concatenates the same plane order as the engine
+    planes = S.plane_weights(dim, 16)
     return f"""
-WITH bk AS (SELECT vec_id,
+WITH bk AS (SELECT vec_id, CAST(j // 4 AS INT) AS band,
                    string_agg(CASE WHEN list_dot_product(embedding, w::DOUBLE[]) > 0
                                    THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
-            FROM embeddings, {_planes_sql(planes)} GROUP BY vec_id)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            FROM embeddings, {_planes_sql(planes)} GROUP BY vec_id, band),
+cand AS (SELECT DISTINCT ba.vec_id AS id_a, bb.vec_id AS id_b
+         FROM bk ba JOIN bk bb
+           ON ba.band = bb.band AND ba.bucket = bb.bucket
+          AND ba.vec_id < bb.vec_id)
+SELECT c.id_a, c.id_b,
        round(list_dot_product(a.embedding, b.embedding)
              / (sqrt(list_dot_product(a.embedding, a.embedding))
                 * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos
-FROM embeddings a, embeddings b, bk ba, bk bb
-WHERE ba.vec_id = a.vec_id AND bb.vec_id = b.vec_id
-  AND a.vec_id < b.vec_id AND ba.bucket = bb.bucket
-  AND round(list_dot_product(a.embedding, b.embedding)
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE round(list_dot_product(a.embedding, b.embedding)
             / (sqrt(list_dot_product(a.embedding, a.embedding))
                * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.9
 ORDER BY id_a, id_b
@@ -429,11 +439,56 @@ FROM documents ORDER BY id
 """
 
 
+# Frozen golden for q29 from the pure-Python winnow oracle
+# (:func:`glean_cetaf_rdfs_spark.operators.textops.winnow_py`) over
+# /root/testdata/sf0.01/documents.parquet — doc_ids are contiguous
+# 0..499, so the list index IS the id. Drift-guarded in
+# tests/test_entry_contract.py (recomputed from the parquet every run).
+_Q29_NFPS_SF001 = [
+    33, 96, 45, 24, 50, 58, 11, 82, 97, 86, 45, 61, 71, 69, 102, 42, 16,
+    84, 92, 7, 77, 44, 90, 37, 102, 101, 8, 73, 68, 39, 30, 51, 113, 48,
+    30, 92, 24, 77, 38, 23, 90, 70, 71, 32, 27, 97, 102, 42, 31, 49, 51,
+    72, 11, 33, 64, 41, 123, 94, 80, 21, 107, 65, 85, 104, 27, 23, 72, 75,
+    33, 69, 108, 70, 45, 111, 7, 64, 76, 65, 48, 11, 32, 69, 50, 14, 86,
+    28, 27, 26, 64, 27, 26, 86, 26, 22, 33, 61, 102, 70, 117, 38, 104, 48,
+    107, 110, 50, 70, 12, 47, 11, 75, 9, 110, 65, 89, 39, 21, 15, 47, 87,
+    16, 41, 36, 21, 29, 67, 37, 105, 93, 96, 93, 28, 56, 67, 105, 27, 120,
+    67, 43, 73, 53, 31, 88, 108, 86, 14, 86, 25, 96, 38, 31, 54, 112, 44,
+    91, 91, 82, 24, 18, 16, 76, 54, 102, 95, 54, 21, 18, 64, 106, 44, 83,
+    22, 68, 17, 114, 74, 31, 108, 57, 42, 108, 37, 22, 79, 16, 93, 64, 89,
+    100, 51, 43, 90, 22, 22, 33, 31, 64, 66, 118, 52, 31, 64, 65, 98, 24,
+    19, 75, 25, 79, 21, 45, 109, 51, 50, 101, 12, 116, 113, 71, 92, 35,
+    117, 42, 53, 98, 102, 92, 24, 94, 98, 86, 67, 29, 60, 100, 73, 44, 12,
+    85, 55, 28, 81, 104, 79, 32, 74, 96, 35, 98, 97, 88, 51, 115, 53, 37,
+    17, 26, 10, 21, 81, 50, 24, 96, 55, 89, 116, 58, 49, 96, 42, 103, 102,
+    60, 106, 29, 107, 5, 114, 32, 81, 57, 101, 37, 35, 105, 55, 101, 53,
+    21, 34, 44, 117, 88, 105, 79, 106, 37, 73, 64, 36, 105, 46, 101, 106,
+    90, 39, 9, 91, 67, 17, 51, 32, 105, 84, 15, 46, 101, 90, 82, 97, 108,
+    85, 58, 52, 65, 42, 67, 35, 31, 100, 69, 68, 64, 41, 35, 102, 68, 82,
+    51, 18, 37, 52, 97, 18, 30, 88, 67, 82, 51, 22, 91, 95, 80, 108, 63,
+    103, 74, 73, 53, 9, 64, 96, 71, 12, 72, 55, 13, 66, 46, 12, 57, 51,
+    73, 26, 70, 37, 66, 72, 46, 68, 81, 97, 74, 27, 51, 17, 84, 98, 47,
+    69, 32, 29, 49, 28, 99, 86, 103, 50, 56, 20, 60, 24, 92, 35, 97, 40,
+    65, 101, 18, 15, 52, 80, 83, 82, 96, 89, 62, 57, 111, 96, 20, 97, 93,
+    76, 80, 87, 25, 89, 95, 61, 114, 80, 68, 74, 35, 90, 31, 56, 93, 31,
+    32, 49, 118, 95, 57, 83, 59, 28, 108, 54, 35, 25, 18, 75, 114, 31, 7,
+    25, 36, 67, 76, 52, 84, 68, 100, 37, 66, 106, 77, 43, 7, 44, 69, 40,
+    62, 77, 13, 13, 27, 56, 82, 69, 13, 32, 49, 39, 31, 31, 64, 40, 67,
+    59, 76, 10, 96, 41, 82, 95, 20, 97, 33,
+]
+
+SQL_Q29 = ("SELECT CAST(id AS BIGINT) AS id, CAST(n_fps AS INT) AS n_fps FROM (VALUES "
+           + ", ".join(f"({i}, {n})".format(i=i, n=n)
+                       for i, n in enumerate(_Q29_NFPS_SF001))
+           + ") t(id, n_fps) ORDER BY id")
+
+
 def q29_winnow_fingerprint(spark, sf_dir):
-    """Rolling-hash winnowing fingerprints (pandas/Arrow stage; rows-only —
-    the pure function is golden-tested in pytest)."""
+    """Rolling-hash winnowing fingerprints (pandas/Arrow stage). Oracle =
+    frozen VALUES from the pure-Python winnow at the driver's correctness
+    sf (see _Q29_NFPS_SF001; drift-guarded in test_entry_contract)."""
     return (T.winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text")
-            .select("id", F.size("fps").alias("n_fps"))
+            .select("id", F.size("fps").cast("int").alias("n_fps"))
             .orderBy("id"))
 
 
@@ -499,7 +554,7 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q26_quality_score": (q26_quality_score, SQL_Q26),
     "q27_lang_id": (q27_lang_id, SQL_Q27),
     "q28_fingerprint": (q28_fingerprint, SQL_Q28),
-    "q29_winnow_fingerprint": (q29_winnow_fingerprint, None),
+    "q29_winnow_fingerprint": (q29_winnow_fingerprint, SQL_Q29),
     "q30_multimodal_metadata": (q30_multimodal_metadata, SQL_Q30),
     "q31_frame_sample_plan": (q31_frame_sample_plan, SQL_Q31),
 }

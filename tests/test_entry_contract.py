@@ -26,9 +26,27 @@ def test_registry_shapes():
 def test_rows_only_queries_are_the_documented_ones():
     qs, sqls = E.queries(), E.oracle_sql()
     rows_only = set(qs) - set(sqls)
-    assert rows_only == {
-        "q29_winnow_fingerprint",  # engine-internal rolling hash: pytest golden
-    }
+    assert rows_only == set()  # every query carries a DuckDB oracle
+
+
+def test_q29_frozen_oracle_matches_python_winnow():
+    """The frozen VALUES oracle shipped for q29 must equal fingerprint
+    counts freshly derived from the pure-Python winnow over the driver's
+    correctness-sf documents table — fixture or scheme drift fails here
+    before it can hash-fail at the driver."""
+    import duckdb
+    import pytest
+
+    from glean_cetaf_rdfs_spark.operators.textops import winnow_py
+    from glean_cetaf_rdfs_spark.queries_data import _Q29_NFPS_SF001
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not Path(path).exists():
+        pytest.skip("driver testdata not present")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{path}' ORDER BY doc_id").fetchall()
+    got = [len(winnow_py(t or "")) for _, t in rows]
+    assert got == _Q29_NFPS_SF001
 
 
 def test_q32_frozen_oracle_matches_python_oracle():
