@@ -79,6 +79,26 @@ def query_bucket(query: list[float], planes: list[list[int]]) -> str:
     )
 
 
+def probe_buckets(query: list[float], planes: list[list[int]],
+                  n_probe: int = 1) -> list[str]:
+    """Deterministic multi-probe sequence: the query's own bucket first,
+    then single-bit flips in ascending |projection| (margin) order — the
+    standard multi-probe LSH heuristic (flip the least-confident sign
+    first; Lv et al., VLDB'07). Single-bit flips only, so
+    ``n_probe ≤ len(planes) + 1``. Tie-break (margin, plane index) and
+    the left-to-right dot fold match the SQL oracle's derivation, so
+    both engines select identical probe sets."""
+    projs = [sum(float(wi) * float(x) for wi, x in zip(w, query))
+             for w in planes]
+    base = "".join("1" if p > 0 else "0" for p in projs)
+    buckets = [base]
+    for j in sorted(range(len(planes)), key=lambda j: (abs(projs[j]), j)):
+        if len(buckets) >= n_probe:
+            break
+        buckets.append(base[:j] + ("0" if base[j] == "1" else "1") + base[j + 1:])
+    return buckets[:n_probe]
+
+
 def _scored_topk(df: DataFrame, query: list[float], k: int) -> DataFrame:
     qlit = F.array(*[F.lit(float(x)) for x in query])
     qn = float(np.sqrt(np.dot(query, query)))
@@ -91,16 +111,20 @@ def _scored_topk(df: DataFrame, query: list[float], k: int) -> DataFrame:
 
 def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
                     query: list[float], k: int = 10,
-                    n_planes: int = 4) -> DataFrame:
+                    n_planes: int = 4, n_probe: int = 1) -> DataFrame:
     """Approximate top-k: restrict the exact scoring to the query's LSH
-    bucket. → (id, cos). Recall is tested against cosine_topk in the
-    suite; more planes ⇒ smaller buckets ⇒ cheaper + lower recall.
-    Buckets are computed on the fly (full scan) — the pre-materialized
-    path is :func:`write_bucketed_embeddings` + :func:`bucketed_table_topk`."""
+    bucket(s). → (id, cos). Recall is tested against cosine_topk in the
+    suite; more planes ⇒ smaller buckets ⇒ cheaper + lower recall, and
+    ``n_probe > 1`` probes margin-ordered neighbor buckets too
+    (:func:`probe_buckets`) to buy recall back without touching the
+    write layout. Buckets are computed on the fly (full scan) — the
+    pre-materialized path is :func:`write_bucketed_embeddings` +
+    :func:`bucketed_table_topk`."""
     planes = plane_weights(len(query), n_planes)
     bucketed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                          lsh_bucket_of(F.col(vec_col), planes).alias("bucket"))
-    return _scored_topk(bucketed.filter(F.col("bucket") == query_bucket(query, planes)),
+    probes = probe_buckets(query, planes, n_probe)
+    return _scored_topk(bucketed.filter(F.col("bucket").isin(probes)),
                         query, k)
 
 
@@ -123,14 +147,40 @@ def write_bucketed_embeddings(df: DataFrame, id_col: str, vec_col: str,
 # --- IVF-style ANN (coarse quantizer + probed list) ------------------------
 
 def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
-                  k_centroids: int = 8) -> dict[int, list[float]]:
-    """Deterministic stand-in coarse quantizer: centroids = the vectors
-    with ids < k (engine-portable; a production system would train
-    k-means here — the inverted-list partition/probe plumbing below is
-    identical either way)."""
-    rows = (df.filter(F.col(id_col) < k_centroids)
-            .select(id_col, vec_col).collect())
-    return {int(r[0]): [float(x) for x in r[1]] for r in rows}
+                  k_centroids: int = 8, sample_n: int = 256,
+                  iters: int = 8, seed: int = LSH_SEED) -> dict[int, list[float]]:
+    """Trained coarse quantizer: seeded k-means (k-means++ init + Lloyd)
+    over a deterministic sample, centroids rounded to 6 decimals for
+    engine portability (the frozen-VALUES oracle embeds them verbatim).
+
+    This is the standard IVF split at corpus scale (what FAISS does):
+    the quantizer trains on a small uniform SAMPLE driver-side — at
+    100 TB a ``df.sample(...)`` collect of ~1M rows — while ASSIGNMENT
+    of the full corpus stays distributed (:func:`ivf_assign`). Here the
+    sample is the lowest ``sample_n`` ids so the result is byte-stable
+    for the oracle's drift guard."""
+    rows = (df.filter(F.col(id_col) < sample_n)
+            .select(id_col, vec_col).orderBy(id_col).collect())
+    x = np.array([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
+    k = min(k_centroids, len(x))
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding (deterministic: seeded rng, argmax/argmin ties to
+    # the first index)
+    centers = [x[int(rng.randint(len(x)))]]
+    for _ in range(1, k):
+        d2 = np.min([((x - c) ** 2).sum(axis=1) for c in centers], axis=0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(x), 1.0 / len(x))
+        centers.append(x[int(rng.choice(len(x), p=probs))])
+    c = np.array(centers)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):  # empty cluster keeps its previous center
+                c[j] = members.mean(axis=0)
+    c = np.round(c, 6)
+    return {j: [float(v) for v in c[j]] for j in range(k)}
 
 
 def _l2_to(vec_col, clit):
@@ -176,11 +226,12 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
 
 
 def bucketed_table_topk(spark, path: str, query: list[float], k: int = 10,
-                        n_planes: int = 4) -> DataFrame:
-    """Probe the materialized bucket table: the ``bucket ==`` filter is a
-    partition-column predicate, so the scan touches only the probe
-    bucket's files. → (id, cos)."""
+                        n_planes: int = 4, n_probe: int = 1) -> DataFrame:
+    """Probe the materialized bucket table: the ``bucket IN (…)`` filter
+    is a partition-column predicate, so the scan touches only the probed
+    buckets' directories (``n_probe`` of 2^n_planes) — multi-probe costs
+    proportionally more read, never a full scan. → (id, cos)."""
     planes = plane_weights(len(query), n_planes)
     pruned = (spark.read.parquet(path)
-              .filter(F.col("bucket") == query_bucket(query, planes)))
+              .filter(F.col("bucket").isin(probe_buckets(query, planes, n_probe))))
     return _scored_topk(pruned, query, k)

@@ -313,35 +313,220 @@ ORDER BY cos DESC, id LIMIT 10
 """
 
 
+def _input_tag(path: str) -> str:
+    """Cheap content fingerprint of an input file/directory (names, sizes,
+    mtimes) — keys the session-cached bucket table so regenerating the
+    input at the same path invalidates the cache instead of silently
+    probing stale data."""
+    import hashlib
+    import os
+
+    parts = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()[:10]
+
+
+def _bucket_table_path(spark, sf_dir: str) -> str:
+    """Materialize (once per session per input-content tag) the
+    partitionBy(bucket) embedding table; return its path."""
+    import os
+
+    from .session import app_scratch_path
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = _input_tag(src)
+    path = app_scratch_path(
+        spark, f"ann_buckets_{os.path.basename(sf_dir.rstrip('/'))}_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        S.write_bucketed_embeddings(_embs(spark, sf_dir), "vec_id", "embedding",
+                                    path, n_planes=4)
+    return path
+
+
 def q36_ann_bucket_scan(spark, sf_dir):
     """Top-k probe against the MATERIALIZED bucket table (the 100 TB ANN
     path): embeddings written partitionBy(bucket) once per session, probe
     reads only the query's bucket directory (partition pruning). Same
     semantics as q24 → same oracle SQL shape."""
-    import os
-
-    from .session import app_scratch_path
-
-    path = app_scratch_path(spark, f"ann_buckets_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        S.write_bucketed_embeddings(_embs(spark, sf_dir), "vec_id", "embedding",
-                                    path, n_planes=4)
+    path = _bucket_table_path(spark, sf_dir)
     return S.bucketed_table_topk(spark, path, _query_vec(spark, sf_dir), k=10,
                                  n_planes=4)
 
 
+def q40_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe sign-LSH top-k against the materialized bucket table:
+    the query's bucket plus the 2 nearest margin-ordered 1-bit-flip
+    buckets (probe_buckets) — recall recovery without touching the write
+    layout; the scan stays partition-pruned to 3 of 16 directories. The
+    oracle derives the identical probe set in SQL (same fold order, same
+    (margin, plane) tie-break)."""
+    path = _bucket_table_path(spark, sf_dir)
+    return S.bucketed_table_topk(spark, path, _query_vec(spark, sf_dir), k=10,
+                                 n_planes=4, n_probe=3)
+
+
+def sql_q40(dim: int, n_probe: int = 3) -> str:
+    planes = S.plane_weights(dim, 4)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+proj AS (SELECT j, list_dot_product(qv, w::DOUBLE[]) AS s
+         FROM q, {_planes_sql(planes)}),
+base AS (SELECT string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                           ORDER BY j) AS b FROM proj),
+probes AS (
+  SELECT b AS bucket, -1.0 AS m, -1 AS j FROM base
+  UNION ALL
+  SELECT substr(b, 1, CAST(j AS INT))
+         || (CASE WHEN substr(b, CAST(j AS INT) + 1, 1) = '1'
+                  THEN '0' ELSE '1' END)
+         || substr(b, CAST(j AS INT) + 2),
+         abs(s), CAST(j AS INT)
+  FROM base, proj),
+sel AS (SELECT bucket FROM probes ORDER BY m, j LIMIT {n_probe}),
+bk AS (SELECT vec_id,
+              string_agg(CASE WHEN list_dot_product(embedding, w::DOUBLE[]) > 0
+                              THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+       FROM embeddings, {_planes_sql(planes)} GROUP BY vec_id)
+SELECT e.vec_id AS id,
+       round(list_dot_product(e.embedding, q.qv)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+FROM embeddings e, q, bk
+WHERE bk.vec_id = e.vec_id AND bk.bucket IN (SELECT bucket FROM sel)
+ORDER BY cos DESC, id LIMIT 10
+"""
+
+
+# Frozen trained-IVF centroids for sf0.01: seeded k-means over the
+# deterministic sample (similarity.ivf_centroids), rounded to 6dp.
+# The engine re-trains at query time and must reproduce these exactly
+# (drift-guarded in test_dataops); the oracle embeds them as literals.
+_Q39_CENTROIDS_SF001 = [
+    [
+     -0.075156, 0.033902, 0.017359, 0.015337, 0.004567, 0.048192,
+     0.055471, 0.017953, -0.028761, 0.01413, -0.036367, 0.027778,
+     -0.041223, 0.017918, -0.077549, -0.020789, 0.063878, -0.017725,
+     -0.01845, 0.00068, -0.003965, -0.02555, -0.021135, -0.052899,
+     -0.03804, 0.00215, -0.001715, 0.003168, 0.003552, -0.035822,
+     -0.025741, -0.016045, 0.036374, -0.012074, -0.051302, 0.039161,
+     0.056004, 0.038849, -0.024068, -0.014132, 0.064687, 0.052449,
+     -0.087935, -0.064143, -0.034526, -0.047999, -0.02755, 0.015816,
+     0.021017, -0.027415, 0.001376, -0.001852, 0.034278, -0.021254,
+     0.001519, -0.025156, -0.02276, 0.0458, -0.042072, -0.003554,
+     -0.07243, 0.031521, -0.037174, -0.029819],
+    [
+     -0.005464, -0.013012, -0.028442, 0.016831, 0.040363, 0.069664,
+     -0.054644, 0.00152, -0.017055, -0.030324, -0.041848, 0.025132,
+     -0.013123, -0.0276, 0.040292, -0.004184, 0.018492, 0.015848,
+     0.053984, -0.017619, -0.006097, -0.053781, -0.036971, 0.002398,
+     0.029959, 0.04835, 0.061311, 0.04911, 0.038839, 0.080625, -0.056575,
+     0.027831, 0.015647, -0.017091, -0.045566, -0.027846, -0.038895,
+     0.018067, 0.041379, 0.011452, -0.056698, -0.079008, 0.015001,
+     -0.018632, 0.031523, -0.031946, -0.010926, -0.01602, 0.026226,
+     -0.04377, 0.024546, -0.037045, -0.065798, 0.002445, -0.049323,
+     -0.008299, 0.026569, 0.030962, 0.014914, 0.034297, 0.00601,
+     -0.019408, 0.030302, -0.022419],
+    [
+     -0.003743, 0.019096, 0.004538, 0.004309, 0.000986, -0.041628,
+     -0.04806, -0.05233, 0.034691, -0.025327, 0.02989, -0.05586, 0.057023,
+     -0.050076, 0.034944, -0.022461, -0.000202, 0.058023, 0.059244,
+     0.03322, -0.086704, -0.034998, 0.020362, -0.019386, 0.043152,
+     0.078036, 0.02926, -0.038149, -0.059299, -0.005493, 0.020863,
+     -0.002987, 0.035834, -0.017915, 0.037807, -0.026613, -0.043968,
+     -0.007179, -0.027125, -0.078817, 0.000308, 0.036603, -0.047858,
+     -0.084356, 0.045278, -0.035816, -0.059051, 0.011227, 0.013324,
+     -0.079108, -0.078676, -0.057096, 0.051049, -0.017905, 0.013803,
+     0.016857, 0.022323, -0.001808, -0.008979, -0.085926, 0.029706,
+     0.084749, 0.02464, 0.011026],
+    [
+     0.025126, -0.014839, -0.016606, -0.011827, 0.042953, 0.043843,
+     0.003467, 0.012147, -0.008313, 0.015504, -0.003331, -0.067895,
+     0.020408, 0.079364, -0.056311, 0.049293, 0.035328, 0.057428,
+     -0.032654, -0.038063, 0.029828, 0.014693, 0.002536, 0.016818,
+     -0.02049, 0.009874, -0.03059, 0.044229, 0.025712, 0.067743, 0.050923,
+     -0.031263, 0.010082, 0.040016, 0.074852, 0.01808, -0.05736,
+     -0.002147, 0.011729, 0.074611, -0.066007, 0.011331, 0.081995, 0.0178,
+     0.010429, -0.016129, -0.021937, 0.006834, 0.038863, 0.016864,
+     -0.015095, 0.013089, 0.008989, -0.020627, 0.048587, 0.034081,
+     0.030778, -0.055865, 0.020597, 0.020369, -0.005428, -0.006424,
+     -0.027001, -0.00624],
+    [
+     0.010645, 0.024243, 0.017426, 0.009455, 0.03489, 0.029112, -0.02171,
+     -0.00105, 0.06727, -0.034805, 0.000449, -0.046042, -0.040095,
+     -0.061624, 0.031864, 0.002727, -0.006448, 0.015148, 0.028413,
+     0.056342, 0.090382, -0.000394, 0.056058, 0.018131, 0.013506,
+     -0.070111, -0.041124, -0.016959, -0.003996, -0.023066, -0.030031,
+     -0.03737, -0.015112, -0.012722, 0.01424, -0.026563, 0.059866,
+     -0.013915, -0.047335, 0.02085, -0.05212, 0.02896, -0.026837,
+     -0.001819, -0.043287, 0.060634, -0.007288, -0.005963, -0.073605,
+     0.014749, 0.061769, -0.017276, 0.013965, -0.031991, 0.000103,
+     -0.043333, 0.044558, 0.048247, 0.050705, 0.019202, 0.032155,
+     0.055733, -0.082274, -0.026562],
+    [
+     0.012457, -0.013649, 0.008117, 0.009433, -0.065642, -0.063781,
+     0.038256, 0.050954, -0.040978, -0.025379, -0.026768, 0.015273,
+     -0.005318, -0.049954, -0.054193, 0.004877, 0.003378, 0.004122,
+     0.019915, -0.007349, 0.015916, 0.073956, -0.010481, -0.001383,
+     -0.016907, 0.08022, -0.00556, 0.019458, 0.051575, 0.012689,
+     -0.004654, 0.033199, -0.004867, 0.00786, 0.010819, -0.03501,
+     0.019125, -0.074274, 0.014885, -0.009017, 0.04291, -0.067005,
+     -0.027922, 0.012459, -0.03251, 0.093366, 0.050475, 0.06005,
+     -0.074999, -0.027599, 0.008714, 0.074641, -0.040215, -0.006077,
+     -0.006893, -0.033384, 0.026839, -0.034025, -0.028328, 0.011156,
+     -0.019624, 0.009753, -0.020326, -0.007727],
+    [
+     -0.039534, -0.087395, 0.018982, 0.030492, 0.026851, 0.052951,
+     -0.053835, 0.00251, -0.012359, -0.004864, 0.027906, 0.069262,
+     -0.035909, 0.063897, -0.003156, -0.009655, -0.049721, -0.115053,
+     -0.050742, -0.016011, -0.001435, 0.001028, 0.019089, 0.00733,
+     -0.05479, 0.000974, -0.014805, -0.038846, -0.012104, -0.050166,
+     0.092094, -0.02472, 0.013511, -0.053365, 0.043046, 0.043267,
+     0.026028, 0.023078, -0.013155, -0.04777, -0.033651, 0.0042, 0.012414,
+     0.026675, -0.026356, -0.031363, 0.03066, -0.034709, -0.004829,
+     0.025161, 0.026445, -0.004365, 0.055575, 0.048056, -0.069365,
+     -0.041314, -0.042878, -0.057401, -0.018292, -0.012963, 0.005589,
+     -0.001282, 0.026402, 0.02146],
+    [
+     0.004745, 0.019677, 0.032238, -0.071292, -0.019898, -0.06838,
+     -0.029838, -0.01368, 0.016886, 0.053282, 0.04485, -0.016315,
+     0.022973, 0.019275, 0.078703, 0.000963, 0.001606, 0.041455,
+     -0.047665, -0.012298, -0.031888, 0.003393, -0.011117, -0.02709,
+     0.005107, -0.040485, -0.009502, 0.029323, -0.068089, -0.023624,
+     -0.069409, -0.021528, 0.010826, -0.021839, 0.03452, 0.018952,
+     0.06204, -0.018522, 0.00606, -0.026502, 0.051319, -0.065205,
+     0.068407, -0.007212, -0.013335, 0.033665, -0.021633, 0.02721,
+     0.037245, 0.044625, 0.067451, -0.011823, 0.035683, -0.008065,
+     0.067227, 0.039864, 0.022354, 0.014685, -0.05812, -0.018523,
+     0.032916, -0.043642, 0.013403, -0.018125],
+]
+
+
 def q39_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: deterministic coarse quantizer (centroids =
-    vec_id < 8), nearest-list probe, exact cosine top-k within the
-    probed list — the second ANN family next to sign-LSH (q23/q24/q36).
-    Oracle reproduces the same assignment argmin in SQL."""
+    """IVF-style ANN with a TRAINED coarse quantizer (seeded k-means
+    over a deterministic sample — similarity.ivf_centroids), nearest-list
+    probe, exact cosine top-k within the probed list — the second ANN
+    family next to sign-LSH (q23/q24/q36/q40). The oracle reproduces the
+    assignment argmin in SQL from the frozen learned centroids
+    (_Q39_CENTROIDS_SF001; drift-guarded in test_dataops)."""
     return S.ivf_topk(_embs(spark, sf_dir), "vec_id", "embedding",
                       _query_vec(spark, sf_dir), k=10, k_centroids=8,
                       n_probe=1)
 
 
-SQL_Q39 = """
-WITH c AS (SELECT vec_id AS j, embedding AS cv FROM embeddings WHERE vec_id < 8),
+def _centroids_sql(cents: list[list[float]]) -> str:
+    rows = ", ".join(f"({j}, {list(c)})" for j, c in enumerate(cents))
+    return f"(VALUES {rows}) t(j, cv)"
+
+
+SQL_Q39 = f"""
+WITH c AS (SELECT j, cv::DOUBLE[] AS cv FROM {_centroids_sql(_Q39_CENTROIDS_SF001)}),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 qd AS (SELECT j, list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
               + list_dot_product(cv, cv) AS l2 FROM q, c),
@@ -549,6 +734,7 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q23_lsh_bucket_histogram": (q23_lsh_bucket_histogram, sql_q23(64)),
     "q24_lsh_bucket_topk": (q24_lsh_bucket_topk, sql_q24(64)),
     "q36_ann_bucket_scan": (q36_ann_bucket_scan, sql_q24(64)),
+    "q40_lsh_multiprobe_topk": (q40_lsh_multiprobe_topk, sql_q40(64)),
     "q39_ivf_topk": (q39_ivf_topk, SQL_Q39),
     "q25_token_count": (q25_token_count, SQL_Q25),
     "q26_quality_score": (q26_quality_score, SQL_Q26),

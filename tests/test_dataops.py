@@ -224,6 +224,100 @@ def test_materialized_bucket_table_prunes_partitions(spark, embs, tmp_path):
     assert got == want
 
 
+def _planted_embeddings(spark, n_near: int = 15, n_noise: int = 120):
+    """Query vector 0 + n_near perturbed copies (cos ≈ 0.97) + noise."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    q = rng.randn(64)
+    rows = [(0, [float(x) for x in q])]
+    vid = 1
+    for _ in range(n_near):
+        rows.append((vid, [float(x) for x in q + 0.25 * rng.randn(64)]))
+        vid += 1
+    for _ in range(n_noise):
+        rows.append((vid, [float(x) for x in rng.randn(64)]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_multiprobe_recall_on_materialized_table(spark, tmp_path):
+    """recall@10 ≥ 0.8 for the multi-probe probe of the materialized
+    bucket table vs exact cosine top-k (the q36/q40 path), and the scan
+    must stay partition-pruned (bucket IN (...) reaches PartitionFilters,
+    never a full scan)."""
+    df = _planted_embeddings(spark)
+    q = [float(x) for x in
+         df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "buckets")
+    S.write_bucketed_embeddings(df, "vec_id", "embedding", path, n_planes=4)
+    exact = [r["id"] for r in
+             S.cosine_topk(df, "vec_id", "embedding", q, k=10).collect()]
+    probe = S.bucketed_table_topk(spark, path, q, k=10, n_planes=4, n_probe=5)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got = [r["id"] for r in probe.collect()]
+    assert len(set(got) & set(exact)) / len(exact) >= 0.8
+    # single-probe results are a subset of what multi-probe can see
+    one = {r["id"] for r in
+           S.bucketed_table_topk(spark, path, q, k=10, n_planes=4).collect()}
+    assert one <= set(got) | (one - set(exact))
+
+
+def test_probe_buckets_sequence_deterministic():
+    """First probe = the query's own bucket; flips ordered by ascending
+    margin; capped at n_planes+1 distinct buckets."""
+    planes = S.plane_weights(4, 4)
+    q = [1.0, 0.5, -0.25, 2.0]
+    seq = S.probe_buckets(q, planes, n_probe=5)
+    assert seq[0] == S.query_bucket(q, planes)
+    assert len(seq) == len(set(seq)) == 5
+    for b in seq[1:]:  # every later probe is a 1-bit flip of the base
+        assert sum(x != y for x, y in zip(b, seq[0])) == 1
+    assert S.probe_buckets(q, planes, n_probe=99) == seq  # single-flip cap
+
+
+def test_ivf_trained_centroids_frozen_and_balanced(spark):
+    """The trained quantizer must (a) reproduce the frozen sf0.01
+    centroids the q39 oracle embeds (drift guard) and (b) produce lists
+    within 4× of balanced on the driver fixture."""
+    import pytest
+
+    from glean_cetaf_rdfs_spark.queries_data import _Q39_CENTROIDS_SF001
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    try:
+        emb = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001
+        pytest.skip("driver testdata not present")
+    cents = S.ivf_centroids(emb, "vec_id", "embedding", 8)
+    assert [cents[j] for j in sorted(cents)] == _Q39_CENTROIDS_SF001
+    sizes = {r["list_id"]: r["n"] for r in
+             S.ivf_assign(emb, "vec_id", "embedding", cents)
+             .groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(sizes.values())
+    assert max(sizes.values()) <= 4 * n_total / len(cents)
+    assert len(sizes) == len(cents)  # no empty inverted list on the fixture
+
+
+def test_bucket_table_cache_invalidates_on_input_change(spark, tmp_path):
+    """Regenerating embeddings.parquet at the same path must produce a
+    DIFFERENT session-cached bucket-table path (content tag in the key),
+    so a stale table can never serve the probe."""
+    import shutil
+
+    from glean_cetaf_rdfs_spark.queries_data import _bucket_table_path
+
+    sf_dir = str(tmp_path / "sf")
+    df1 = _planted_embeddings(spark, n_near=2, n_noise=10)
+    df1.write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    p1 = _bucket_table_path(spark, sf_dir)
+    shutil.rmtree(f"{sf_dir}/embeddings.parquet")
+    df1.limit(8).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    p2 = _bucket_table_path(spark, sf_dir)
+    assert p1 != p2
+
+
 def test_ivf_topk_subset_of_exact(embs):
     """IVF probe results must carry exact cosine scores (subset of the
     brute-force ranking) and include the query vector itself (its own
