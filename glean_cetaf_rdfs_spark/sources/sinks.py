@@ -28,33 +28,31 @@ def write_ntriples_text(triples: DataFrame, path: str,
                         mode: str = "overwrite") -> None:
     """Serialize (subj, pred, obj, obj_is_iri) to N-Triples lines — the
     reference's interchange format (rdfparse output, JACQ.sh:369-370) —
-    as a text sink (gzip via codec). Literal objects get minimal escaping;
-    IRIs are angle-bracketed."""
+    as a text sink (gzip via codec). Literal objects get the N-Triples
+    string escape set; IRIs are angle-bracketed."""
     from pyspark.sql import functions as F
 
-    obj = F.when(
-        F.col("obj_is_iri"), F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
-    ).otherwise(
-        F.concat(F.lit('"'),
-                 F.regexp_replace(F.regexp_replace(F.col("obj"), r"\\", r"\\\\"),
-                                  '"', r'\\"'),
-                 F.lit('"')))
     line = F.concat(F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"),
-                    F.lit("> "), obj, F.lit(" ."))
+                    F.lit("> "), _serialized_obj(), F.lit(" ."))
     (triples.select(line.alias("value"))
      .write.mode(mode).option("compression", "gzip").text(path))
 
 
 def _serialized_obj():
+    """IRI → ``<iri>``; literal → quoted with the N-Triples string escape
+    set (\\ " \\n \\r \\t) — an unescaped raw newline/CR/tab would break
+    the line-oriented text sinks and any downstream TriG/N-Triples
+    parser."""
     from pyspark.sql import functions as F
 
+    lit = F.col("obj")
+    for raw, esc in ((r"\\", r"\\\\"), ('"', r'\\"')):
+        lit = F.regexp_replace(lit, raw, esc)
+    for raw, esc in (("\n", r"\n"), ("\r", r"\r"), ("\t", r"\t")):
+        lit = F.replace(lit, F.lit(raw), F.lit(esc))
     return F.when(
         F.col("obj_is_iri"), F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
-    ).otherwise(
-        F.concat(F.lit('"'),
-                 F.regexp_replace(F.regexp_replace(F.col("obj"), r"\\", r"\\\\"),
-                                  '"', r'\\"'),
-                 F.lit('"')))
+    ).otherwise(F.concat(F.lit('"'), lit, F.lit('"')))
 
 
 def write_trig_text(triples: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -58,3 +58,19 @@ def test_cc_idempotent_on_star_output(spark):
     df = spark.createDataFrame([("a", "b"), ("b", "c")], schema="src string, dst string")
     got = {r["member"]: r["canonical"] for r in connected_components(df).collect()}
     assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_cc_reliable_checkpoint_matches_local(spark, tmp_path):
+    """The reliable-storage checkpoint variant (the cluster-scale option:
+    localCheckpoint blocks die with their executor) must produce the
+    identical component map."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("m", "m2"), ("m2", "m3")],
+        "src string, dst string")
+    local = {(r["member"], r["canonical"])
+             for r in connected_components(edges).collect()}
+    reliable = {(r["member"], r["canonical"])
+                for r in connected_components(
+                    edges, checkpoint_dir=str(tmp_path / "ck")).collect()}
+    assert reliable == local
+    assert {c for _, c in local} == {"a", "x", "m"}

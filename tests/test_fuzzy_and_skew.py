@@ -77,3 +77,16 @@ def test_salted_join_matches_plain(spark):
     # left join preserves unmatched rows
     n_left = salted_join_small(big, small, "key", how="left").count()
     assert n_left == big.count()
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    """Byte-identical duplicates of one hot key must land in MULTIPLE
+    salt shards (content-hash-only salting put them all in one, defeating
+    the mitigation in the duplicate-heavy case it targets)."""
+    from glean_cetaf_rdfs_spark.operators.skew import _stable_salt_src, with_salt
+
+    df = spark.createDataFrame([("hot", "same-payload")] * 2000,
+                               "key string, payload string").repartition(8)
+    n_shards = (with_salt(df, _stable_salt_src(df), n_salts=16)
+                .select("_salt").distinct().count())
+    assert n_shards >= 8

@@ -22,7 +22,12 @@ def test_batch_lineage_rows_and_scratch_bounded(spark, tiny_df, tmp_path):
     ec = rows["extract_canonicalize"]
     assert ec["rows_in"] == ec["rows_out"] + ec["rows_dropped"]
     assert ec["rows_dropped"] > 0  # fixture always has P4/P5 drops
-    assert rows["materialize"]["rows_out"] == final.count()
+    mat = rows["materialize"]
+    assert mat["rows_out"] == final.count()
+    # the accounting invariant holds for EVERY stage row: materialize's
+    # input is the observed pre-dedupe union, dropped = dedupe losses
+    assert mat["rows_in"] == mat["rows_out"] + mat["rows_dropped"]
+    assert mat["rows_dropped"] >= 0
     # scratch stays bounded: one app-scoped dir, reused across runs
     appid = spark.sparkContext.applicationId
     run_pipeline(spark, tiny_df, out, lineage_path=ck, run_id="t2")
