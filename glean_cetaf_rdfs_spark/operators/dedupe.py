@@ -262,6 +262,50 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
             .select("id_a", "id_b", "cos"))
 
 
+def _banded_sign_buckets(df: DataFrame, id_col: str, vec_col: str,
+                         planes: list[list[int]],
+                         n_planes: int) -> DataFrame:
+    """→ (id, band, bucket): per-band sign-LSH bucket strings, computed
+    in one Arrow-vectorized pandas stage. Each projection is an exact
+    left-to-right float64 sum (``np.cumsum`` — sequential by definition),
+    so the sign bits are bit-identical to the JVM ``zip_with``/
+    ``aggregate`` fold and DuckDB's ``list_dot_product``: all three
+    engines derive the same buckets. The column-expression form
+    (similarity.lsh_bucket_of) stays the right tool for ≤4-plane probes;
+    at 64 projections its Catalyst/janino cost dominates the query."""
+    import numpy as np
+    import pandas as pd
+
+    n_bands = len(planes) // n_planes
+    w = np.asarray(planes, dtype=np.float64)  # (n_bands*n_planes, dim)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])  # (n, dim)
+            # left-to-right running sum per (row, plane); last col = dot
+            signs = np.empty((len(x), len(w)), dtype=np.uint8)
+            for p in range(len(w)):
+                proj = np.cumsum(x * w[p], axis=1)[:, -1]
+                signs[:, p] = proj > 0
+            chars = np.where(signs, "1", "0")
+            ids = pdf[id_col].to_numpy()
+            out = {
+                "id": np.repeat(ids, n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(x)),
+                "bucket": [
+                    "".join(chars[i, b * n_planes:(b + 1) * n_planes])
+                    for i in range(len(x)) for b in range(n_bands)
+                ],
+            }
+            yield pd.DataFrame(out)
+
+    return (df.select(id_col, vec_col)
+            .mapInPandas(run, schema="id long, band int, bucket string"))
+
+
 def embedding_cosine_pairs_bucketed(df: DataFrame, id_col: str, vec_col: str,
                                     threshold: float = 0.95, n_planes: int = 4,
                                     n_bands: int = 1,
@@ -274,29 +318,27 @@ def embedding_cosine_pairs_bucketed(df: DataFrame, id_col: str, vec_col: str,
     hyperplanes): a pair becomes a candidate if it shares ANY band's full
     bucket, then candidates are verified with the exact cosine. With
     p = P(one sign bit agrees) = 1 − θ/π, pair recall is
-    1 − (1 − p^n_planes)^n_bands — at cos 0.9, 4 planes × 4 bands gives
-    ≈0.97 vs ≈0.54 for the single AND-only bucket (the round-2 defect).
+    1 − (1 − p^n_planes)^n_bands — at cos 0.9, 8 planes × 8 bands gives
+    ≈0.94 vs ≈0.54 for the single AND-only bucket (the round-2 defect),
+    and the longer band buckets keep candidate volume low (more-bands ×
+    longer-bands: the standard LSH tuning).
     Candidate volume stays bucket-bounded: the per-band equi-join is the
     same shuffle as before, ×n_bands, with a distinct before the exact
-    verify so no pair is scored twice. → (id_a, id_b, cos)."""
-    from .similarity import _dot, _norm, lsh_bucket_of, plane_weights
+    verify so no pair is scored twice. → (id_a, id_b, cos).
+
+    The n_bands·n_planes sign projections run in ONE Arrow-vectorized
+    stage (:func:`_banded_sign_buckets`) — as JVM fold expressions, 64
+    projections × a duplicated self-join subtree cost ~5 s of Catalyst
+    analysis + janino compilation alone at 64 dims (measured); the
+    numpy form is bit-identical (left-to-right cumsum) and milliseconds."""
+    from .similarity import _dot, _norm, plane_weights
 
     if dim is None:
         dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     planes = plane_weights(dim, n_bands * n_planes)
     withn = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                       _norm(F.col(vec_col)).alias("nrm"))
-    # one narrow pass computes every band's bucket; explode → (id, band,
-    # bucket) so all bands share a single self-join (no plan duplication)
-    band_structs = [
-        F.struct(F.lit(b).alias("band"),
-                 lsh_bucket_of(F.col("v"), planes[b * n_planes:(b + 1) * n_planes])
-                 .alias("bucket"))
-        for b in range(n_bands)
-    ]
-    banded = (withn.select("id", F.explode(F.array(*band_structs)).alias("bb"))
-              .select("id", F.col("bb.band").alias("band"),
-                      F.col("bb.bucket").alias("bucket")))
+    banded = _banded_sign_buckets(df, id_col, vec_col, planes, n_planes)
     ca = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     cb = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     cands = (ca.join(cb, ["band", "bucket"])

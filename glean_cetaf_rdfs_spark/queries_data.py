@@ -139,8 +139,7 @@ def q37_dup_clusters_cc(spark, sf_dir):
     return connected_components(edges).orderBy("member")
 
 
-SQL_Q37 = f"""
-WITH RECURSIVE {_SQL_MINHASH_PAIRS},
+_SQL_CC_COMPONENTS = f"""{_SQL_MINHASH_PAIRS},
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL
           SELECT id_b AS src, id_a AS dst FROM pairs),
@@ -149,8 +148,40 @@ reach(id, r) AS (
     SELECT id, id FROM nodes
     UNION
     SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
-)
-SELECT id AS member, min(r) AS canonical FROM reach GROUP BY id ORDER BY member
+),
+comp AS (SELECT id AS member, min(r) AS canonical FROM reach GROUP BY id)"""
+
+SQL_Q37 = f"""
+WITH RECURSIVE {_SQL_CC_COMPONENTS}
+SELECT member, canonical FROM comp ORDER BY member
+"""
+
+
+def q41_dedup_apply(spark, sf_dir):
+    """Dedup lifecycle APPLY step: filter the corpus to one survivor per
+    near-dup cluster (the component's canonical = min doc_id) plus every
+    unclustered doc — the deduplicated corpus a training pipeline feeds
+    downstream. Non-survivors come from the q37 connected-components map;
+    the filter is a left anti join on doc_id (broadcast-able: the loser
+    set is a fraction of the corpus; at web scale AQE picks the
+    strategy). → (doc_id)."""
+    from .operators.cc import connected_components
+
+    pairs = D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                n=3, k=8, bands=4, verify_threshold=0.2)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    losers = (connected_components(edges)
+              .filter(F.col("member") != F.col("canonical"))
+              .select(F.col("member").alias("doc_id")))
+    return (_docs(spark, sf_dir).join(losers, "doc_id", "left_anti")
+            .select("doc_id").orderBy("doc_id"))
+
+
+SQL_Q41 = f"""
+WITH RECURSIVE {_SQL_CC_COMPONENTS}
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> canonical)
+ORDER BY doc_id
 """
 
 
@@ -192,22 +223,25 @@ def q21_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs through BANDED sign-LSH blocking
     (the scale path — per-band bucket equi-joins, no cross product; the
     exact pairwise form stays available as the verification baseline).
-    4 bands × 4 planes: OR-amplification lifts pair recall at cos 0.9
-    from ≈0.54 (the round-2 single-bucket form) to ≈0.97; recall vs the
-    exact baseline is asserted in test_dataops. The oracle applies the
+    8 bands × 8 planes: OR-amplification lifts pair recall at cos 0.9
+    from ≈0.54 (the round-2 single-AND-bucket form) to ≈0.94, while the
+    longer 8-bit band buckets keep candidate volume ~6× below the
+    4-band/4-plane shape (458k → 77k pairs at sf0.1 — the standard
+    more-bands-AND-longer-bands LSH tuning). Recall vs the exact
+    baseline is asserted in test_dataops; the oracle applies the
     identical literal-plane banded candidate restriction."""
     return (D.embedding_cosine_pairs_bucketed(
                 _embs(spark, sf_dir), "vec_id", "embedding",
-                threshold=0.9, n_planes=4, n_bands=4)
+                threshold=0.9, n_planes=8, n_bands=8)
             .orderBy("id_a", "id_b"))
 
 
 def sql_q21(dim: int) -> str:
-    # 16 planes = 4 bands × 4 planes, band = j // 4; string_agg ORDER BY j
+    # 64 planes = 8 bands × 8 planes, band = j // 8; string_agg ORDER BY j
     # inside a band concatenates the same plane order as the engine
-    planes = S.plane_weights(dim, 16)
+    planes = S.plane_weights(dim, 64)
     return f"""
-WITH bk AS (SELECT vec_id, CAST(j // 4 AS INT) AS band,
+WITH bk AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
                    string_agg(CASE WHEN list_dot_product(embedding, w::DOUBLE[]) > 0
                                    THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
             FROM embeddings, {_planes_sql(planes)} GROUP BY vec_id, band),
@@ -729,6 +763,7 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q19_minhash_lsh": (q19_minhash_lsh, SQL_Q19),
     "q20_simhash_near_pairs": (q20_simhash_near_pairs, SQL_Q20),
     "q37_dup_clusters_cc": (q37_dup_clusters_cc, SQL_Q37),
+    "q41_dedup_apply": (q41_dedup_apply, SQL_Q41),
     "q21_embedding_dup_pairs": (q21_embedding_dup_pairs, sql_q21(64)),
     "q22_cosine_topk": (q22_cosine_topk, SQL_Q22),
     "q23_lsh_bucket_histogram": (q23_lsh_bucket_histogram, sql_q23(64)),

@@ -183,7 +183,7 @@ def test_embedding_bucketed_recall_vs_exact(spark):
     banded = {(r["id_a"], r["id_b"])
               for r in D.embedding_cosine_pairs_bucketed(
                   df, "vec_id", "embedding", threshold=0.9,
-                  n_planes=4, n_bands=4).collect()}
+                  n_planes=8, n_bands=8).collect()}  # the shipped q21 shape
     assert exact, "fixture must plant true near-dup pairs"
     assert banded <= exact  # exact verify ⇒ precision 1
     assert len(banded & exact) / len(exact) >= 0.8
