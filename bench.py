@@ -130,13 +130,13 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         import subprocess
         spark.stop()  # free the 32-thread JVM before measuring the legs
-        # 192k convs: long enough legs that fixed per-stage overheads
-        # don't eat the 4N leg (see tools/bench_scaling.py)
-        n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "192000"))
+        # 320k convs: long enough legs that fixed per-stage overheads and
+        # the host's noise bursts amortize (see tools/bench_scaling.py)
+        n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "320000"))
         try:
             out = subprocess.run(
                 [sys.executable, str(REPO / "tools" / "bench_scaling.py"),
-                 str(n_convs), "2", "2", "3"],
+                 str(n_convs), "2", "2", "4"],
                 capture_output=True, text=True, timeout=3600, check=True)
             result["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
         except Exception as e:  # noqa: BLE001 — bench must still print

@@ -205,24 +205,56 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                      best["j"].alias("list_id"))
 
 
-def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
-             k: int = 10, k_centroids: int = 8, n_probe: int = 1) -> DataFrame:
-    """IVF probe: score only the ``n_probe`` inverted lists nearest to
-    the query — O(n_probe·N/k_centroids) dots instead of O(N). At scale
-    the assigned table is materialized partitionBy(list_id), same layout
-    as :func:`write_bucketed_embeddings`. → (id, cos)."""
-    cents = ivf_centroids(df, id_col, vec_col, k_centroids)
-
+def probe_lists(query: list[float], centroids: dict[int, list[float]],
+                n_probe: int = 1) -> list[int]:
+    """Driver-side probe-list selection: the ``n_probe`` centroids
+    nearest to the query by L2 (left-to-right sums — same order as the
+    column/SQL forms), ties to the smaller list id."""
     def l2_py(c):
         vv = sum(x * x for x in query)
         vc = sum(x * y for x, y in zip(query, c))
         cc = sum(x * x for x in c)
         return vv - 2 * vc + cc
 
-    probe = sorted(cents, key=lambda j: (l2_py(cents[j]), j))[:n_probe]
+    return sorted(centroids, key=lambda j: (l2_py(centroids[j]), j))[:n_probe]
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
+             k: int = 10, k_centroids: int = 8, n_probe: int = 1) -> DataFrame:
+    """IVF probe: score only the ``n_probe`` inverted lists nearest to
+    the query — O(n_probe·N/k_centroids) dots instead of O(N). At scale
+    the assigned table is materialized partitionBy(list_id)
+    (:func:`write_ivf_lists` + :func:`ivf_table_topk`). → (id, cos)."""
+    cents = ivf_centroids(df, id_col, vec_col, k_centroids)
     assigned = ivf_assign(df, id_col, vec_col, cents)
-    return _scored_topk(assigned.filter(F.col("list_id").isin(probe)),
-                        query, k)
+    return _scored_topk(
+        assigned.filter(F.col("list_id").isin(probe_lists(query, cents, n_probe))),
+        query, k)
+
+
+def write_ivf_lists(df: DataFrame, id_col: str, vec_col: str, path: str,
+                    k_centroids: int = 8) -> dict[int, list[float]]:
+    """Materialize the IVF index: train the quantizer, assign the full
+    set distributed, write (id, v) ``partitionBy("list_id")`` — the
+    100 TB layout (assignment paid once; every probe afterwards reads
+    only its n_probe list directories via partition pruning). Returns
+    the trained centroids (the probe-time 'index metadata' — at scale
+    these live next to the table)."""
+    cents = ivf_centroids(df, id_col, vec_col, k_centroids)
+    (ivf_assign(df, id_col, vec_col, cents)
+     .write.mode("overwrite").partitionBy("list_id").parquet(path))
+    return cents
+
+
+def ivf_table_topk(spark, path: str, query: list[float],
+                   centroids: dict[int, list[float]], k: int = 10,
+                   n_probe: int = 1) -> DataFrame:
+    """Probe the materialized IVF table: ``list_id IN (…)`` is a
+    partition-column predicate — the scan touches n_probe of k_centroids
+    directories, never the full table. → (id, cos)."""
+    pruned = (spark.read.parquet(path)
+              .filter(F.col("list_id").isin(probe_lists(query, centroids, n_probe))))
+    return _scored_topk(pruned, query, k)
 
 
 def bucketed_table_topk(spark, path: str, query: list[float], k: int = 10,

@@ -559,6 +559,36 @@ def _centroids_sql(cents: list[list[float]]) -> str:
     return f"(VALUES {rows}) t(j, cv)"
 
 
+def q42_ivf_table_topk(spark, sf_dir):
+    """Top-k probe against the MATERIALIZED IVF list table (the second
+    100 TB ANN layout next to q36's sign-LSH bucket table): assignment
+    paid once per session per input tag, probe reads only the nearest
+    list's directory (list_id partition pruning). Same semantics as q39
+    → same frozen-centroid oracle."""
+    import os
+
+    from .session import app_scratch_path
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tagged = f"ivf_lists_{os.path.basename(sf_dir.rstrip('/'))}_{_input_tag(src)}"
+    path = app_scratch_path(spark, tagged)
+    # centroid metadata rides inside the index dir (underscore prefix →
+    # ignored by the parquet reader, removed with the dir at exit)
+    meta = os.path.join(path, "_centroids.json")
+    import json
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cents = S.write_ivf_lists(_embs(spark, sf_dir), "vec_id", "embedding",
+                                  path, k_centroids=8)
+        with open(meta, "w") as f:
+            json.dump(cents, f)
+    else:
+        with open(meta) as f:
+            cents = {int(j): v for j, v in json.load(f).items()}
+    return S.ivf_table_topk(spark, path, _query_vec(spark, sf_dir), cents,
+                            k=10, n_probe=1)
+
+
 SQL_Q39 = f"""
 WITH c AS (SELECT j, cv::DOUBLE[] AS cv FROM {_centroids_sql(_Q39_CENTROIDS_SF001)}),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -771,6 +801,7 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q36_ann_bucket_scan": (q36_ann_bucket_scan, sql_q24(64)),
     "q40_lsh_multiprobe_topk": (q40_lsh_multiprobe_topk, sql_q40(64)),
     "q39_ivf_topk": (q39_ivf_topk, SQL_Q39),
+    "q42_ivf_table_topk": (q42_ivf_table_topk, SQL_Q39),
     "q25_token_count": (q25_token_count, SQL_Q25),
     "q26_quality_score": (q26_quality_score, SQL_Q26),
     "q27_lang_id": (q27_lang_id, SQL_Q27),

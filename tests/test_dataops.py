@@ -318,6 +318,24 @@ def test_bucket_table_cache_invalidates_on_input_change(spark, tmp_path):
     assert p1 != p2
 
 
+def test_ivf_table_topk_prunes_and_matches_inline(spark, embs, tmp_path):
+    """The materialized IVF list table (the second 100 TB ANN layout)
+    must (a) partition-prune the probe to the selected list directories
+    and (b) return exactly what the inline ivf_topk computes (same
+    trained centroids, same assignment, same scoring)."""
+    q = [float(x) for x in
+         embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    cents = S.write_ivf_lists(embs, "vec_id", "embedding", path, k_centroids=8)
+    probe = S.ivf_table_topk(spark, path, q, cents, k=10, n_probe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    want = [(r["id"], r["cos"]) for r in
+            S.ivf_topk(embs, "vec_id", "embedding", q, k=10, n_probe=2).collect()]
+    got = [(r["id"], r["cos"]) for r in probe.collect()]
+    assert got == want
+
+
 def test_ivf_topk_subset_of_exact(embs):
     """IVF probe results must carry exact cosine scores (subset of the
     brute-force ranking) and include the query vector itself (its own

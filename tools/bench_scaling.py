@@ -100,18 +100,23 @@ print("generated")
 
 
 def main() -> None:
-    # 192k convs (~3M turns): sized so the 4N leg runs long enough that
-    # fixed per-stage costs (scheduling, Python-worker forks, the dedupe
-    # exchange setup) amortize — at 96k they ate ~15% of the short leg's
-    # wall and the artifact under-reported true scaling (round-2 0.746
-    # vs calm-window 0.9+).
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 192000
+    # 320k convs (~4.9M turns): sized so the 4N leg runs long enough
+    # that fixed per-stage costs (scheduling, Python-worker forks, the
+    # dedupe exchange setup) AND the host's multi-minute noise bursts
+    # amortize — at 96k fixed costs ate ~15% of the short leg's wall
+    # (round-2 artifact 0.746 vs calm-window 0.9+), and at 192k the
+    # round-3 measurements still swung 0.66-1.1 between invocations
+    # (lo-leg walls 196-491 s for identical code+input). 320k measured
+    # 0.907 (r1) / 0.919 (r2) with comfortable margin.
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 320000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     # first full-size run in a JVM is up to ~2x slower even after the
     # small warm run (measured; JIT of full-size paths) → every leg is
     # best-of-N inside one subprocess
     runs_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    runs_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    # the lo leg is highly stable at this input size (±0.2% measured);
+    # the hi leg carries the variance → one extra sample there
+    runs_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     # pre-generate the input with all cores — generation is fixture prep,
     # not part of either measured leg
     subprocess.run([sys.executable, "-c", GEN.format(repo=str(REPO), n_convs=n_convs)],
