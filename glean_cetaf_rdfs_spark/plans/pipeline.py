@@ -102,15 +102,33 @@ def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None,
 
         annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
     elif intermediate == "parquet":
+        import os
+
         spark = transcripts.sparkSession
         path = _stage_scratch(spark, temp_dir)
-        annotated.write.mode("overwrite").parquet(path)
+        if os.environ.get("SPARK_GRAFT_STAGE_SECT", "1") != "0":
+            from ..operators.canonicalize import stage_section_col
+
+            (annotated.withColumn("sect", stage_section_col())
+             .write.mode("overwrite").partitionBy("sect").parquet(path))
+        else:
+            annotated.write.mode("overwrite").parquet(path)
         annotated = spark.read.parquet(path)
     canonical, sameas = split_canonical(annotated)
     spo = canonical.select("subj", "pred", "obj", "obj_is_iri")
-    links = link_entities(spo, dict_df)
-    events = event_entities(spo)
-    generated = enrich_triples(spo, links, events)
+    if "sect" in annotated.columns:
+        # partition-pruned branch inputs: the entity branches (linking,
+        # event flags, enrichment mentions) read only sect='m'; the
+        # sameAs branch reads sect∈{'m','a'} (rows in 'o' cannot emit
+        # alias edges by construction of stage_section_col)
+        ent_canonical, _ = split_canonical(annotated.filter(F.col("sect") == "m"))
+        ent_spo = ent_canonical.select("subj", "pred", "obj", "obj_is_iri")
+        _, sameas = split_canonical(annotated.filter(F.col("sect") != "o"))
+    else:
+        ent_spo = spo
+    links = link_entities(ent_spo, dict_df)
+    events = event_entities(ent_spo)
+    generated = enrich_triples(ent_spo, links, events)
     all_triples = (spo
                    .unionByName(sameas.select("subj", "pred", "obj", "obj_is_iri"))
                    .unionByName(generated))

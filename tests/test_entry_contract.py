@@ -61,3 +61,43 @@ def test_q32_frozen_oracle_matches_python_oracle():
 
     c = Counter(p for _, _, p, _, _ in oracle_triples(transcripts_pdf(400)))
     assert sorted(c.items()) == E._Q32_ORACLE_ROWS
+
+
+def test_probe_bucket_sql_derivation_matches_python():
+    """The q40 oracle derives the multi-probe bucket set IN SQL (margin-
+    ordered single-bit flips); it must match probe_buckets() for random
+    query vectors — a probe-set mismatch would hash-fail q40 only on
+    data where the extra bucket matters, so check the derivation
+    directly across many vectors."""
+    import duckdb
+    import numpy as np
+
+    from glean_cetaf_rdfs_spark.operators.similarity import (
+        plane_weights,
+        probe_buckets,
+    )
+
+    planes = plane_weights(64, 4)
+    rows = ", ".join(f"({j}, {list(w)})" for j, w in enumerate(planes))
+    rng = np.random.RandomState(3)
+    for _ in range(25):
+        q = [float(x) for x in rng.randn(64)]
+        want = probe_buckets(q, planes, n_probe=3)
+        got = [r[0] for r in duckdb.sql(f"""
+WITH q AS (SELECT {list(q)}::DOUBLE[] AS qv),
+proj AS (SELECT j, list_dot_product(qv, w::DOUBLE[]) AS s
+         FROM q, (VALUES {rows}) planes(j, w)),
+base AS (SELECT string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                           ORDER BY j) AS b FROM proj),
+probes AS (
+  SELECT b AS bucket, -1.0 AS m, -1 AS j FROM base
+  UNION ALL
+  SELECT substr(b, 1, CAST(j AS INT))
+         || (CASE WHEN substr(b, CAST(j AS INT) + 1, 1) = '1'
+                  THEN '0' ELSE '1' END)
+         || substr(b, CAST(j AS INT) + 2),
+         abs(s), CAST(j AS INT)
+  FROM base, proj)
+SELECT bucket FROM probes ORDER BY m, j LIMIT 3
+""").fetchall()]
+        assert got == want, (got, want)
