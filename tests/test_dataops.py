@@ -354,3 +354,20 @@ def test_ivf_topk_subset_of_exact(embs):
     three = {r["id"] for r in
              S.ivf_topk(embs, "vec_id", "embedding", q, k=10, n_probe=3).collect()}
     assert len(three & set(exact)) >= len(one & set(exact)) - 1
+
+
+def test_scale_hints_force_sort_merge_plan(docs):
+    """The corpus-scale contract: with scale_hints=True the shingle/band
+    self-joins must plan as SortMergeJoin (never broadcast — both sides
+    scale with the corpus); the bench-scale default must avoid the forced
+    sort. Neither shape may contain a cartesian product."""
+    fast = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
+                                 max_doc_freq=20)
+    big = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
+                                max_doc_freq=20, scale_hints=True)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in big_plan
+    assert "CartesianProduct" not in big_plan
+    assert "ShuffledHashJoin" in fast_plan
+    assert "CartesianProduct" not in fast_plan
