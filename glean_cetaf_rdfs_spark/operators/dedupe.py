@@ -216,6 +216,14 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     distances recall becomes probabilistic). → (id_a, id_b, hamming)."""
     if n_chunks is None:
         n_chunks = min(8, max_hamming + 1)
+    if n_chunks <= max_hamming:
+        import warnings
+
+        warnings.warn(
+            f"simhash_near_pairs: n_chunks={n_chunks} <= max_hamming="
+            f"{max_hamming} leaves the pigeonhole guarantee — recall is "
+            "probabilistic (pairs differing in every chunk are missed)",
+            stacklevel=2)
     width = 64 // n_chunks
     sh = simhash64(df, id_col, text_col)
     chunk_structs = []
