@@ -741,6 +741,51 @@ def q29_winnow_fingerprint(spark, sf_dir):
             .orderBy("id"))
 
 
+def q43_corpus_stats(spark, sf_dir):
+    """Corpus profiling for curation decisions: per predicted language,
+    doc count, mean token count, and EXACT interpolated p50/p90 token
+    counts (``F.percentile`` — exact, so DuckDB's quantile_cont matches
+    bit-for-bit at these scales; at 100 TB swap in approx_percentile and
+    drop the oracle). One scan + one shuffle (the groupBy)."""
+    docs = _docs(spark, sf_dir)
+    toks = T.token_count(docs, "doc_id", "text").select("id", "n_tokens")
+    lang = T.lang_id(docs, "doc_id", "text")
+    return (toks.join(lang, "id")
+            .groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+                 F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
+                 F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90_tokens"))
+            .orderBy("lang_pred"))
+
+
+SQL_Q43 = """
+WITH t AS (SELECT doc_id AS id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+s AS (SELECT id, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS s_de,
+             len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+             len(list_filter(toks, x -> x IN ('el','los','que','una','y'))) AS s_es
+      FROM t),
+b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM s),
+l AS (SELECT id, n_tokens,
+             CASE WHEN best = 0 THEN 'und'
+                  WHEN s_de = best THEN 'de'
+                  WHEN s_en = best THEN 'en'
+                  WHEN s_es = best THEN 'es'
+                  WHEN s_fr = best THEN 'fr'
+                  ELSE 'und' END AS lang_pred
+      FROM b)
+SELECT lang_pred, count(*) AS n_docs,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens
+FROM l GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
 # --- multimodal -------------------------------------------------------------
 
 def q30_multimodal_metadata(spark, sf_dir):
@@ -807,6 +852,7 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q27_lang_id": (q27_lang_id, SQL_Q27),
     "q28_fingerprint": (q28_fingerprint, SQL_Q28),
     "q29_winnow_fingerprint": (q29_winnow_fingerprint, SQL_Q29),
+    "q43_corpus_stats": (q43_corpus_stats, SQL_Q43),
     "q30_multimodal_metadata": (q30_multimodal_metadata, SQL_Q30),
     "q31_frame_sample_plan": (q31_frame_sample_plan, SQL_Q31),
 }

@@ -105,3 +105,19 @@ def conversation_progress_stream(stream: DataFrame) -> DataFrame:
     return (stream.groupBy("conv_id")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def streaming_exact_dedup(stream: DataFrame, key_cols: list[str],
+                          ts_col: str = "ts",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication: keep the FIRST arrival of each key,
+    with dedup state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — duplicates arriving within the
+    watermark horizon of the first copy are dropped; state for keys older
+    than the horizon is evicted). Bounded state is the only shape that
+    survives 10^12 rows: plain streaming ``dropDuplicates`` retains every
+    key forever. The batch analog is operators/dedupe.exact_dedup_groups;
+    here the key is usually a content hash column
+    (``F.md5(text)``) added upstream. → deduplicated stream."""
+    return (stream.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))

@@ -95,3 +95,28 @@ def test_stateful_conversation_progress(spark, tmp_path):
     assert latest == want
     # state carried across micro-batches: conversations got ≥2 snapshots
     assert max(snaps.values()) >= 2
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Duplicate rows (same content key) arriving in the same and in
+    later micro-batches inside the watermark horizon collapse to one;
+    distinct keys all survive."""
+    from glean_cetaf_rdfs_spark.streaming.ingest import streaming_exact_dedup
+
+    inp = str(tmp_path / "in")
+    pdf = transcripts_pdf(4)
+    _write_batch(spark, pdf, inp)        # originals
+    _write_batch(spark, pdf.head(20), inp)  # exact duplicates, next file
+    stream = stream_transcripts(spark, inp).withColumn("ckey", F.md5("text"))
+    deduped = streaming_exact_dedup(stream, ["ckey"], ts_col="ts",
+                                    watermark="7 days")
+    q = (deduped.writeStream.outputMode("append")
+         .format("memory").queryName("dedup_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT ckey FROM dedup_out").collect()
+    keys = [r["ckey"] for r in got]
+    assert len(keys) == len(set(keys))  # no duplicate key survived
+    import hashlib
+    want = {hashlib.md5(t.encode()).hexdigest() for t in pdf["text"]}
+    assert set(keys) == want  # every distinct content key survived
