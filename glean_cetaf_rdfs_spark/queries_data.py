@@ -786,6 +786,74 @@ FROM l GROUP BY lang_pred ORDER BY lang_pred
 """
 
 
+def q44_source_quality_gate(spark, sf_dir):
+    """Source-level curation: per source, doc count, mean punctuation
+    ratio, and how many docs pass a cheap quality gate (punct_ratio ≤
+    0.1 AND ≥ 5 tokens) — the aggregate a pipeline reads to deny-list
+    bad sources before training. One scan + one shuffle."""
+    docs = _docs(spark, sf_dir)
+    qs = T.quality_score(docs, "doc_id", "text")
+    j = docs.select(F.col("doc_id").alias("id"), "source").join(qs, "id")
+    gate = (F.col("punct_ratio") <= 0.1) & (F.col("n_tokens") >= 5)
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("punct_ratio"), 4).alias("avg_punct"),
+                 F.sum(F.when(gate, 1).otherwise(0)).alias("n_pass"))
+            .orderBy("source"))
+
+
+SQL_Q44 = """
+WITH t AS (SELECT doc_id AS id, source, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+q AS (SELECT id, source, len(toks) AS n_tokens,
+             round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / greatest(length(text), 1), 4) AS punct_ratio
+      FROM t)
+SELECT source, count(*) AS n_docs,
+       round(avg(punct_ratio), 4) AS avg_punct,
+       sum(CASE WHEN punct_ratio <= 0.1 AND n_tokens >= 5 THEN 1 ELSE 0 END) AS n_pass
+FROM q GROUP BY source ORDER BY source
+"""
+
+
+def q45_langid_confusion(spark, sf_dir):
+    """Language-ID evaluation against the fixture's gold labels:
+    (lang_gold, lang_pred, n) confusion counts — the tracking query a
+    curation pipeline runs after any lang-ID change."""
+    docs = _docs(spark, sf_dir)
+    pred = T.lang_id(docs, "doc_id", "text")
+    j = (docs.select(F.col("doc_id").alias("id"), F.col("lang").alias("lang_gold"))
+         .join(pred, "id"))
+    return (j.groupBy("lang_gold", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang_gold", "lang_pred"))
+
+
+SQL_Q45 = """
+WITH t AS (SELECT doc_id AS id, lang AS lang_gold,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+s AS (SELECT id, lang_gold,
+             len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS s_en,
+             len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS s_de,
+             len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+             len(list_filter(toks, x -> x IN ('el','los','que','una','y'))) AS s_es
+      FROM t),
+b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM s),
+l AS (SELECT id, lang_gold,
+             CASE WHEN best = 0 THEN 'und'
+                  WHEN s_de = best THEN 'de'
+                  WHEN s_en = best THEN 'en'
+                  WHEN s_es = best THEN 'es'
+                  WHEN s_fr = best THEN 'fr'
+                  ELSE 'und' END AS lang_pred
+      FROM b)
+SELECT lang_gold, lang_pred, count(*) AS n
+FROM l GROUP BY lang_gold, lang_pred ORDER BY lang_gold, lang_pred
+"""
+
+
 # --- multimodal -------------------------------------------------------------
 
 def q30_multimodal_metadata(spark, sf_dir):
@@ -853,6 +921,8 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q28_fingerprint": (q28_fingerprint, SQL_Q28),
     "q29_winnow_fingerprint": (q29_winnow_fingerprint, SQL_Q29),
     "q43_corpus_stats": (q43_corpus_stats, SQL_Q43),
+    "q44_source_quality_gate": (q44_source_quality_gate, SQL_Q44),
+    "q45_langid_confusion": (q45_langid_confusion, SQL_Q45),
     "q30_multimodal_metadata": (q30_multimodal_metadata, SQL_Q30),
     "q31_frame_sample_plan": (q31_frame_sample_plan, SQL_Q31),
 }
