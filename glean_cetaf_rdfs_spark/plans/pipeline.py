@@ -153,14 +153,31 @@ def build_canonical_map(transcripts: DataFrame) -> DataFrame:
 def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_path: str,
                  dict_df: DataFrame | None = None,
                  lineage_path: str | None = None,
-                 run_id: str = "batch") -> DataFrame:
+                 run_id: str = "batch",
+                 quarantine_path: str | None = None) -> DataFrame:
     """Build + write the graph table; when ``lineage_path`` is given,
     append the per-stage accounting rows every production run of the
-    reference produces (validateRDFs.sh:187-205): extraction row counts,
-    P4/P5 drop counts, and materialized output count."""
+    reference produces (validateRDFs.sh:187-205): input-gate quarantine
+    counts, extraction row counts, P4/P5 drop counts, and materialized
+    output count.
+
+    The S4 input gate (sources.readers.gate_well_formed — the
+    reference's MIME check, fixRDF…:287,319-334) runs FIRST: rows
+    violating the input contract (null keys, negative turn_idx, null
+    text) are split off, optionally written to ``quarantine_path``, and
+    counted to lineage — never fed to extraction, never fatal."""
     import uuid
 
     from ..operators.materialize import write_graph_table
+    from ..sources.readers import gate_well_formed
+
+    transcripts, quarantined = gate_well_formed(transcripts)
+    n_bad = 0
+    if quarantine_path is not None:
+        quarantined.write.mode("overwrite").parquet(quarantine_path)
+        n_bad = spark.read.parquet(quarantine_path).count()
+    elif lineage_path is not None:
+        n_bad = quarantined.count()
 
     metrics: dict | None = {} if lineage_path is not None else None
     final = build_triples(transcripts, dict_df, metrics=metrics)
@@ -173,6 +190,11 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_path: str,
 
         canon = metrics["canon"].get
         n_in, n_p4, n_p5 = int(canon["n_in"]), int(canon["n_p4"]), int(canon["n_p5"])
+        if n_bad:
+            # gate stage: rows_in = turns seen, rows_out = turns passed
+            n_ok = int(transcripts.count())
+            _append_ckpt(spark, lineage_path, run_id, "gate", "all",
+                         n_ok + n_bad, n_ok, n_bad, "done")
         _append_ckpt(spark, lineage_path, run_id, "extract_canonicalize", "all",
                      n_in, n_in - n_p4 - n_p5, n_p4 + n_p5, "done")
         # materialize's true input is the pre-dedupe union (canonical +

@@ -62,3 +62,30 @@ def test_progress_report_eta(spark):
     assert rep["elapsed_sec"] == 60.0
     assert rep["rows_per_sec"] == round(270 / 60.0, 1)
     assert rep["eta_sec"] == 150.0  # 30 s/bucket * 5 remaining
+
+
+def test_run_pipeline_gates_malformed_input(spark, tiny_df, tmp_path):
+    """Malformed transcript rows (null text, negative turn_idx) must be
+    quarantined — written aside, counted to lineage with the stage
+    invariant — and the triple output must equal a run over the clean
+    subset alone (malformed rows never reach extraction)."""
+    import datetime as dt
+
+    bad = spark.createDataFrame([
+        ("bad-1", 0, "user", None, None, dt.datetime(2024, 1, 1)),
+        ("bad-2", -3, "user", "x", None, dt.datetime(2024, 1, 1)),
+    ], schema=tiny_df.schema)
+    mixed = tiny_df.unionByName(bad)
+    out, ck = str(tmp_path / "g"), str(tmp_path / "lin")
+    quar = str(tmp_path / "quarantine")
+    final = run_pipeline(spark, mixed, out, lineage_path=ck, run_id="gate1",
+                         quarantine_path=quar)
+    clean = run_pipeline(spark, tiny_df, str(tmp_path / "g2"))
+    cols = ["graph", "subj", "pred", "obj", "obj_is_iri"]
+    assert ({tuple(r) for r in final.select(*cols).collect()}
+            == {tuple(r) for r in clean.select(*cols).collect()})
+    assert spark.read.parquet(quar).count() == 2
+    rows = {r["stage"]: r for r in spark.read.parquet(ck).collect()}
+    g = rows["gate"]
+    assert g["rows_dropped"] == 2
+    assert g["rows_in"] == g["rows_out"] + g["rows_dropped"]
