@@ -577,7 +577,8 @@ def q42_ivf_table_topk(spark, sf_dir):
     meta = os.path.join(path, "_centroids.json")
     import json
 
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not (os.path.exists(os.path.join(path, "_SUCCESS"))
+            and os.path.exists(meta)):  # meta missing ⇒ interrupted write
         cents = S.write_ivf_lists(_embs(spark, sf_dir), "vec_id", "embedding",
                                   path, k_centroids=8)
         with open(meta, "w") as f:
