@@ -134,10 +134,15 @@ def main() -> None:
         # the host's noise bursts amortize (see tools/bench_scaling.py)
         n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "320000"))
         try:
+            # budget covers the worst case: input gen + (lo 2-run + hi
+            # 4-run) legs TWICE (the under-target re-measure path) at
+            # 320k convs ≈ 2×(780+480)+gen ≈ 2800 s typical, more under
+            # noise — 3600 s truncated exactly the noisy rounds the
+            # retry exists to rescue
             out = subprocess.run(
                 [sys.executable, str(REPO / "tools" / "bench_scaling.py"),
                  str(n_convs), "2", "2", "4"],
-                capture_output=True, text=True, timeout=3600, check=True)
+                capture_output=True, text=True, timeout=7200, check=True)
             result["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
         except Exception as e:  # noqa: BLE001 — bench must still print
             result["scaling_error"] = str(e)[:300]

@@ -74,6 +74,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     (HDFS/object store): localCheckpoint blocks die with their executor,
     and a truncated plan cannot be recomputed — one lost executor then
     kills the whole iteration.
+
+    Checkpoint files are NOT auto-deleted by Spark; on a cluster either
+    set ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` or
+    remove the per-context subdir of ``checkpoint_dir`` after the job —
+    each call leaves O(rounds × edge-set) files behind otherwise.
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:

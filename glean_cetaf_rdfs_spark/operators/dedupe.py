@@ -286,6 +286,7 @@ def _banded_sign_buckets(df: DataFrame, id_col: str, vec_col: str,
 
     n_bands = len(planes) // n_planes
     w = np.asarray(planes, dtype=np.float64)  # (n_bands*n_planes, dim)
+    id_type = dict(df.dtypes)[id_col]  # keep the caller's id type (string ids work)
 
     def run(batches):
         for pdf in batches:
@@ -311,7 +312,7 @@ def _banded_sign_buckets(df: DataFrame, id_col: str, vec_col: str,
             yield pd.DataFrame(out)
 
     return (df.select(id_col, vec_col)
-            .mapInPandas(run, schema="id long, band int, bucket string"))
+            .mapInPandas(run, schema=f"id {id_type}, band int, bucket string"))
 
 
 def embedding_cosine_pairs_bucketed(df: DataFrame, id_col: str, vec_col: str,

@@ -159,9 +159,14 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
     of the full corpus stays distributed (:func:`ivf_assign`). Here the
     sample is the lowest ``sample_n`` ids so the result is byte-stable
     for the oracle's drift guard."""
-    rows = (df.filter(F.col(id_col) < sample_n)
-            .select(id_col, vec_col).orderBy(id_col).collect())
+    # lowest-id prefix via orderBy+limit (deterministic for ANY id space,
+    # not just 0-based contiguous ids; identical rows to the former
+    # ``id < sample_n`` filter on the standard fixtures)
+    rows = (df.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_n).collect())
     x = np.array([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
+    if not len(x):  # empty input → no lists (probes return empty)
+        return {}
     k = min(k_centroids, len(x))
     rng = np.random.RandomState(seed)
     # k-means++ seeding (deterministic: seeded rng, argmax/argmin ties to

@@ -30,26 +30,38 @@ def with_salt(df: DataFrame, salt_from: Column, n_salts: int = 16,
     return df.withColumn(col_name, F.pmod(F.xxhash64(salt_from), F.lit(n_salts)))
 
 
-def _stable_salt_src(df: DataFrame) -> Column:
-    """Deterministic salt source: hash of the full row content MIXED with
-    the row's position (partition id + intra-partition offset, i.e.
-    monotonically_increasing_id). Content hash alone sent byte-identical
-    duplicate rows of a hot key to ONE shard — degrading exactly in the
-    duplicate-heavy case salting targets; the position term spreads them
-    across shards. Reruns over the same input splits are stable (both
-    terms are functions of the scan), and the salt only routes rows to
-    intermediate shards — final aggregates/joins are salt-invariant, so
-    the checkpoint/resume contract (identical RESULTS on rerun) holds
-    under any partition layout."""
-    return F.xxhash64(*[F.col(c) for c in df.columns],
-                      F.monotonically_increasing_id())
+def _stable_salt_src(df: DataFrame, spread_duplicates: bool = True) -> Column:
+    """Salt source: hash of the full row content, by default MIXED with
+    the row's position (monotonically_increasing_id) so byte-identical
+    duplicates of a hot key fan out across shards instead of piling into
+    one — the duplicate-heavy case salting exists for.
+
+    Determinism contract: the salt only routes rows to INTERMEDIATE
+    shards — the final aggregate/join results are salt-invariant, so any
+    consistent computation returns identical results regardless of the
+    routing. The position term is however flagged nondeterministic by
+    Catalyst; in the (rare) cluster scenario of a fetch-failure
+    recomputing only part of a map stage, inconsistent re-routing is
+    only safe if Spark widens the retry to the whole stage (its
+    indeterminate-stage handling). Where that guarantee matters more
+    than duplicate spread — e.g. exactly-once accounting riding the same
+    stage — pass ``spread_duplicates=False`` for a pure content hash:
+    task-level retries are then bit-stable, and identical duplicates
+    share a shard."""
+    cols = [F.col(c) for c in df.columns]
+    if spread_duplicates:
+        return F.xxhash64(*cols, F.monotonically_increasing_id())
+    return F.xxhash64(*cols)
 
 
 def salted_count(df: DataFrame, key: str, n_salts: int = 16,
-                 salt_from: Column | None = None) -> DataFrame:
+                 salt_from: Column | None = None,
+                 spread_duplicates: bool = True) -> DataFrame:
     """groupBy(key).count() in two phases for skewed keys:
-    (key, salt) partial counts → merge. → (key, n)."""
-    salt_src = salt_from if salt_from is not None else _stable_salt_src(df)
+    (key, salt) partial counts → merge. → (key, n).
+    ``spread_duplicates``: see :func:`_stable_salt_src`."""
+    salt_src = (salt_from if salt_from is not None
+                else _stable_salt_src(df, spread_duplicates))
     salted = with_salt(df, salt_src, n_salts)
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_n"))
     return partial.groupBy(key).agg(F.sum("_n").alias("n"))
@@ -67,12 +79,14 @@ def salted_distinct(df: DataFrame, key: str, payload: str,
 
 
 def salted_join_small(big: DataFrame, small: DataFrame, key: str,
-                      n_salts: int = 16, how: str = "inner") -> DataFrame:
-    """big ⋈ small on a skewed key: salt the big side deterministically,
-    replicate the small side once per salt, join on (key, salt). The hot
-    key's rows spread across n_salts tasks instead of one straggler."""
+                      n_salts: int = 16, how: str = "inner",
+                      spread_duplicates: bool = True) -> DataFrame:
+    """big ⋈ small on a skewed key: salt the big side, replicate the
+    small side once per salt, join on (key, salt). The hot key's rows
+    spread across n_salts tasks instead of one straggler.
+    ``spread_duplicates``: see :func:`_stable_salt_src`."""
     spark = big.sparkSession
     salts = spark.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
-    big_s = with_salt(big, _stable_salt_src(big), n_salts)
+    big_s = with_salt(big, _stable_salt_src(big, spread_duplicates), n_salts)
     small_s = small.crossJoin(F.broadcast(salts))
     return big_s.join(small_s, [key, "_salt"], how).drop("_salt")

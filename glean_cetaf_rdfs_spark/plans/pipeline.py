@@ -36,6 +36,7 @@ from ..operators.materialize import finalize_triples
 
 
 _BUILD_SEQ = iter(range(1, 1 << 31))
+_PRIOR_BUILDS: dict[str, list[str]] = {}
 
 
 def _stage_scratch(spark: SparkSession, temp_dir: str | None) -> str:
@@ -44,8 +45,14 @@ def _stage_scratch(spark: SparkSession, temp_dir: str | None) -> str:
     session gets a fresh directory instead of overwriting the one an
     earlier build's still-unconsumed DataFrame lazily reads (the round-2
     fixed-path scheme silently swapped data under it; concurrent builds
-    clobbered each other). All subdirs are removed at interpreter exit —
-    growth is bounded by builds-per-session, and /dev/shm is RAM."""
+    clobbered each other).
+
+    Usage is BOUNDED at two subdirs per base (current + immediately
+    previous): older builds are deleted when a new one starts — scratch
+    is RAM-backed (/dev/shm) and an N-run bench would otherwise hold N
+    multi-GB stage copies. The previous build stays readable, which
+    covers the one-outstanding-DataFrame pattern; anything older is
+    assumed consumed. Everything is removed at interpreter exit."""
     seq = next(_BUILD_SEQ)
     if temp_dir is not None:
         base = f"{temp_dir}/kg_canon_{spark.sparkContext.applicationId}"
@@ -54,7 +61,13 @@ def _stage_scratch(spark: SparkSession, temp_dir: str | None) -> str:
         from ..session import app_scratch_path
 
         base = app_scratch_path(spark, "kg_canon")
-    return f"{base}/b{seq}"
+    prior = _PRIOR_BUILDS.setdefault(base, [])
+    for old in prior[:-1]:  # keep only the most recent prior build
+        shutil.rmtree(old, ignore_errors=True)
+    del prior[:-1]
+    path = f"{base}/b{seq}"
+    prior.append(path)
+    return path
 
 
 def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None,
@@ -175,11 +188,18 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_path: str,
     n_bad = 0
     if quarantine_path is not None:
         quarantined.write.mode("overwrite").parquet(quarantine_path)
-        n_bad = spark.read.parquet(quarantine_path).count()
+        n_bad = spark.read.parquet(quarantine_path).count()  # footer-only
     elif lineage_path is not None:
-        n_bad = quarantined.count()
+        n_bad = quarantined.count()  # pushed-down filter scan of the source
 
     metrics: dict | None = {} if lineage_path is not None else None
+    if lineage_path is not None:
+        # passed-turn count rides the stage-table write inside
+        # build_triples (no extra scan — same pattern as the P4/P5
+        # counters)
+        obs_gate = Observation(f"gate_{uuid.uuid4().hex}")
+        transcripts = transcripts.observe(obs_gate,
+                                          F.count(F.lit(1)).alias("n"))
     final = build_triples(transcripts, dict_df, metrics=metrics)
     if lineage_path is not None:
         obs_final = Observation(f"final_{uuid.uuid4().hex}")
@@ -192,7 +212,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_path: str,
         n_in, n_p4, n_p5 = int(canon["n_in"]), int(canon["n_p4"]), int(canon["n_p5"])
         if n_bad:
             # gate stage: rows_in = turns seen, rows_out = turns passed
-            n_ok = int(transcripts.count())
+            # (observed on the stage-table write — no extra scan)
+            n_ok = int(obs_gate.get["n"])
             _append_ckpt(spark, lineage_path, run_id, "gate", "all",
                          n_ok + n_bad, n_ok, n_bad, "done")
         _append_ckpt(spark, lineage_path, run_id, "extract_canonicalize", "all",

@@ -367,18 +367,29 @@ def _input_tag(path: str) -> str:
     return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()[:10]
 
 
-def _bucket_table_path(spark, sf_dir: str) -> str:
-    """Materialize (once per session per input-content tag) the
-    partitionBy(bucket) embedding table; return its path."""
+def _session_index_path(spark, sf_dir: str, name: str,
+                        required: tuple[str, ...] = ("_SUCCESS",)) -> tuple[str, bool]:
+    """Session-cache path for a materialized index over the embeddings
+    table, keyed on the input's content tag (regenerated input ⇒ new
+    path, never a stale probe). Returns (path, complete) where complete
+    means every marker in ``required`` exists — a partially-written index
+    (e.g. killed between the parquet write and its metadata) rebuilds."""
     import os
 
     from .session import app_scratch_path
 
-    src = f"{sf_dir}/embeddings.parquet"
-    tag = _input_tag(src)
+    tag = _input_tag(f"{sf_dir}/embeddings.parquet")
     path = app_scratch_path(
-        spark, f"ann_buckets_{os.path.basename(sf_dir.rstrip('/'))}_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}_{tag}")
+    complete = all(os.path.exists(os.path.join(path, r)) for r in required)
+    return path, complete
+
+
+def _bucket_table_path(spark, sf_dir: str) -> str:
+    """Materialize (once per session per input-content tag) the
+    partitionBy(bucket) embedding table; return its path."""
+    path, complete = _session_index_path(spark, sf_dir, "ann_buckets")
+    if not complete:
         S.write_bucketed_embeddings(_embs(spark, sf_dir), "vec_id", "embedding",
                                     path, n_planes=4)
     return path
@@ -565,20 +576,16 @@ def q42_ivf_table_topk(spark, sf_dir):
     paid once per session per input tag, probe reads only the nearest
     list's directory (list_id partition pruning). Same semantics as q39
     → same frozen-centroid oracle."""
+    import json
     import os
 
-    from .session import app_scratch_path
-
-    src = f"{sf_dir}/embeddings.parquet"
-    tagged = f"ivf_lists_{os.path.basename(sf_dir.rstrip('/'))}_{_input_tag(src)}"
-    path = app_scratch_path(spark, tagged)
     # centroid metadata rides inside the index dir (underscore prefix →
-    # ignored by the parquet reader, removed with the dir at exit)
+    # ignored by the parquet reader, removed with the dir at exit);
+    # requiring it in the cache check rebuilds an interrupted write
+    path, complete = _session_index_path(
+        spark, sf_dir, "ivf_lists", required=("_SUCCESS", "_centroids.json"))
     meta = os.path.join(path, "_centroids.json")
-    import json
-
-    if not (os.path.exists(os.path.join(path, "_SUCCESS"))
-            and os.path.exists(meta)):  # meta missing ⇒ interrupted write
+    if not complete:
         cents = S.write_ivf_lists(_embs(spark, sf_dir), "vec_id", "embedding",
                                   path, k_centroids=8)
         with open(meta, "w") as f:
@@ -728,8 +735,7 @@ _Q29_NFPS_SF001 = [
 ]
 
 SQL_Q29 = ("SELECT CAST(id AS BIGINT) AS id, CAST(n_fps AS INT) AS n_fps FROM (VALUES "
-           + ", ".join(f"({i}, {n})".format(i=i, n=n)
-                       for i, n in enumerate(_Q29_NFPS_SF001))
+           + ", ".join(f"({i}, {n})" for i, n in enumerate(_Q29_NFPS_SF001))
            + ") t(id, n_fps) ORDER BY id")
 
 
