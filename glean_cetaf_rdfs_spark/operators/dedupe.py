@@ -316,8 +316,8 @@ def _banded_sign_buckets(df: DataFrame, id_col: str, vec_col: str,
 
 
 def embedding_cosine_pairs_bucketed(df: DataFrame, id_col: str, vec_col: str,
-                                    threshold: float = 0.95, n_planes: int = 4,
-                                    n_bands: int = 1,
+                                    threshold: float = 0.95, *,
+                                    n_planes: int = 4, n_bands: int = 1,
                                     dim: int | None = None) -> DataFrame:
     """Near-dup pairs with banded sign-LSH blocking — the shipped scale
     path replacing :func:`embedding_cosine_pairs`'s O(N²) cross product.

@@ -30,24 +30,24 @@ def with_salt(df: DataFrame, salt_from: Column, n_salts: int = 16,
     return df.withColumn(col_name, F.pmod(F.xxhash64(salt_from), F.lit(n_salts)))
 
 
-def _stable_salt_src(df: DataFrame, spread_duplicates: bool = True) -> Column:
-    """Salt source: hash of the full row content, by default MIXED with
-    the row's position (monotonically_increasing_id) so byte-identical
-    duplicates of a hot key fan out across shards instead of piling into
-    one — the duplicate-heavy case salting exists for.
+def _stable_salt_src(df: DataFrame, spread_duplicates: bool = False) -> Column:
+    """Salt source: by DEFAULT a pure hash of the full row content —
+    deterministic, so task-level retries re-route every row identically
+    and the module's documented idempotent-routing contract holds on a
+    real cluster (Spark's indeterminate-stage rollback is only
+    guaranteed for repartition-style plans, not arbitrary
+    nondeterministic expressions feeding join/agg keys).
 
-    Determinism contract: the salt only routes rows to INTERMEDIATE
-    shards — the final aggregate/join results are salt-invariant, so any
-    consistent computation returns identical results regardless of the
-    routing. The position term is however flagged nondeterministic by
-    Catalyst; in the (rare) cluster scenario of a fetch-failure
-    recomputing only part of a map stage, inconsistent re-routing is
-    only safe if Spark widens the retry to the whole stage (its
-    indeterminate-stage handling). Where that guarantee matters more
-    than duplicate spread — e.g. exactly-once accounting riding the same
-    stage — pass ``spread_duplicates=False`` for a pure content hash:
-    task-level retries are then bit-stable, and identical duplicates
-    share a shard."""
+    ``spread_duplicates=True`` additionally MIXES the row's position
+    (monotonically_increasing_id) into the hash so byte-identical
+    duplicates of a hot key fan out across shards instead of piling into
+    one. This is an explicit opt-in for known duplicate-heavy skew: the
+    position term is flagged nondeterministic by Catalyst, and a
+    fetch-failure that recomputes part of a map stage can re-route rows
+    mid-shuffle, double-counting or dropping them unless Spark widens
+    the retry to the whole stage. Final results are salt-invariant under
+    CONSISTENT routing either way; only the opt-in risks inconsistent
+    routing under partial recomputation."""
     cols = [F.col(c) for c in df.columns]
     if spread_duplicates:
         return F.xxhash64(*cols, F.monotonically_increasing_id())
@@ -56,7 +56,7 @@ def _stable_salt_src(df: DataFrame, spread_duplicates: bool = True) -> Column:
 
 def salted_count(df: DataFrame, key: str, n_salts: int = 16,
                  salt_from: Column | None = None,
-                 spread_duplicates: bool = True) -> DataFrame:
+                 spread_duplicates: bool = False) -> DataFrame:
     """groupBy(key).count() in two phases for skewed keys:
     (key, salt) partial counts → merge. → (key, n).
     ``spread_duplicates``: see :func:`_stable_salt_src`."""
@@ -80,7 +80,7 @@ def salted_distinct(df: DataFrame, key: str, payload: str,
 
 def salted_join_small(big: DataFrame, small: DataFrame, key: str,
                       n_salts: int = 16, how: str = "inner",
-                      spread_duplicates: bool = True) -> DataFrame:
+                      spread_duplicates: bool = False) -> DataFrame:
     """big ⋈ small on a skewed key: salt the big side, replicate the
     small side once per salt, join on (key, salt). The hot key's rows
     spread across n_salts tasks instead of one straggler.

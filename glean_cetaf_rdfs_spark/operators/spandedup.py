@@ -1,0 +1,124 @@
+"""Substring-level (span) deduplication: detect and remove text spans
+repeated across many documents — boilerplate, license blocks, templated
+headers — the standard training-data curation step that document-level
+dedup (operators/dedupe.py) cannot express, because the documents
+containing the span are NOT near-duplicates of each other.
+
+Scheme: k-word shingles at every token position; a position is "common"
+when its shingle occurs in ≥ ``min_docs`` DISTINCT documents; the union
+of token indices covered by common shingle windows is the removable
+span set (contiguous common positions merge naturally — their covered
+index ranges overlap). This is the shingle-run construction underlying
+winnowing-fingerprint span matching (Schleimer et al., SIGMOD'03)
+applied at word granularity: word shingles keep every step a built-in
+JVM expression (split / transform / posexplode / groupBy / sequence)
+AND give the driver's correctness gate a full DuckDB oracle, where a
+min-hash-positions variant would need a frozen golden.
+
+Scale shape (100 TB): the shingle-position table is O(corpus tokens)
+rows; frequency is one groupBy on the shingle key with map-side partial
+aggregation; the common set joins back by the same key (shuffle join on
+both sides — NO broadcast assumption, since at corpus scale the common
+set itself can be huge); covered-index expansion is a narrow explode
+bounded by k. Swap the raw shingle string for ``xxhash64(shingle)`` at
+scale to cut shuffle bytes (64-bit collisions only ever MERGE counts —
+conservative for a ≥min_docs threshold); kept as the string here for
+bit-exact oracle parity.
+
+Reference parity: the reference excises known-repeated markup spans
+with fixed sed patterns (P6 boilerplate excision,
+fixRDF_before_validate.sh:330-345); this operator learns the repeated
+spans from the corpus instead of hard-coding them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import tokens
+
+
+def shingle_positions(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 5) -> DataFrame:
+    """→ (id, pos, sh): the k-word shingle starting at 0-based token
+    position ``pos``, one row per position (docs shorter than k words
+    contribute no rows)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col).alias("id"), shingles.alias("_sh"))
+            .select("id", F.posexplode("_sh").alias("pos", "sh")))
+
+
+def common_shingles(pos_df: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Shingles occurring in ≥ min_docs distinct docs. → (sh)."""
+    return (pos_df.select("sh", "id").distinct()
+            .groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("sh"))
+
+
+def _covered_indices(df: DataFrame, id_col: str, text_col: str,
+                     k: int, min_docs: int) -> DataFrame:
+    """→ distinct (id, tok_i): token indices covered by any common
+    shingle window."""
+    pos = shingle_positions(df, id_col, text_col, k)
+    common = common_shingles(pos, min_docs)
+    hits = pos.join(common, "sh")
+    return (hits.select(
+        "id",
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + F.lit(k - 1))).alias("tok_i"))
+        .distinct())
+
+
+def repeated_span_stats(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 5, min_docs: int = 2) -> DataFrame:
+    """Per-doc span-dedup accounting — what a curation pipeline reads to
+    size the boilerplate problem before rewriting anything:
+    → (id, n_tokens, n_common_pos, n_removed_tokens)."""
+    pos = shingle_positions(df, id_col, text_col, k)
+    common = common_shingles(pos, min_docs)
+    hits = pos.join(common, "sh")
+    n_pos = hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_common_pos"))
+    n_cov = (hits.select(
+        "id",
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + F.lit(k - 1))).alias("tok_i"))
+        .distinct()
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n_removed_tokens")))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.size(tokens(F.col(text_col))).alias("n_tokens"))
+    return (base.join(n_pos, "id", "left").join(n_cov, "id", "left")
+            .fillna(0, ["n_common_pos", "n_removed_tokens"])
+            .select("id", "n_tokens", "n_common_pos", "n_removed_tokens"))
+
+
+def remove_repeated_spans(df: DataFrame, id_col: str, text_col: str,
+                          k: int = 5, min_docs: int = 2) -> DataFrame:
+    """The rewrite: drop every token covered by a common shingle window,
+    keep the rest in order. → (id, text_clean, n_tokens_removed).
+    Pure built-ins: the removable index set is collected per doc
+    (bounded by doc length) and applied with a positional array filter —
+    no Python stage."""
+    rm = (_covered_indices(df, id_col, text_col, k, min_docs)
+          .groupBy("id").agg(F.collect_set("tok_i").alias("_rm")))
+    toks = tokens(F.col(text_col))
+    joined = (df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+              .join(rm, "id", "left")
+              .withColumn("_rm", F.coalesce(
+                  "_rm", F.array().cast("array<int>"))))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda w, i: ~F.array_contains(F.col("_rm"), i))
+    return joined.select(
+        "id",
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size("_rm").alias("n_tokens_removed"))

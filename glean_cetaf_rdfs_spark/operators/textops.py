@@ -54,6 +54,24 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Integer-exact quality features: token / char / punctuation COUNTS
+    (no ratios, no doubles). The aggregation-safe companion to
+    :func:`quality_score` — ratios of summed integers are bit-identical
+    across engines and partition orders, whereas summing per-doc rounded
+    doubles is partition-order-dependent (the round-3 q44 oracle flake).
+    → (id, n_tokens, n_chars, n_punct)."""
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(text_col)
+    punct = n_chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        punct.cast("long").alias("n_punct"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-profile language ID: per language, count profile-word hits
     among tokens; argmax wins (deterministic tiebreak by language code);

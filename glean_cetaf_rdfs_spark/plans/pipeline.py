@@ -92,6 +92,14 @@ def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None,
       at 310k-turn scale).
     * ``intermediate="persist"``: Dataset cache (MEMORY_AND_DISK).
     * ``intermediate="none"``: fully lazy — recomputed per branch.
+
+    Scratch retention (parquet mode): the process keeps only the CURRENT
+    and the IMMEDIATELY PREVIOUS build's stage directories — starting a
+    third build deletes the oldest, so a DataFrame returned by a build
+    two-or-more calls back raises FileNotFoundException at action time.
+    Consume (or ``persist``) results before starting multiple newer
+    builds, or pass a per-build ``temp_dir`` to opt out of the shared
+    rotation.
     """
     annotated = annotate_canonical(extract_triples(transcripts))
     if metrics is not None:
@@ -210,12 +218,15 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_path: str,
 
         canon = metrics["canon"].get
         n_in, n_p4, n_p5 = int(canon["n_in"]), int(canon["n_p4"]), int(canon["n_p5"])
-        if n_bad:
-            # gate stage: rows_in = turns seen, rows_out = turns passed
-            # (observed on the stage-table write — no extra scan)
-            n_ok = int(obs_gate.get["n"])
-            _append_ckpt(spark, lineage_path, run_id, "gate", "all",
-                         n_ok + n_bad, n_ok, n_bad, "done")
+        # gate stage: rows_in = turns seen, rows_out = turns passed
+        # (observed on the stage-table write — no extra scan). Written
+        # unconditionally — rows_dropped=0 on a clean run — so lineage
+        # consumers can distinguish "gate ran, zero quarantined" from
+        # "gate absent" (the reference's validateRDFs tally likewise
+        # emits a row regardless of the count).
+        n_ok = int(obs_gate.get["n"])
+        _append_ckpt(spark, lineage_path, run_id, "gate", "all",
+                     n_ok + n_bad, n_ok, n_bad, "done")
         _append_ckpt(spark, lineage_path, run_id, "extract_canonicalize", "all",
                      n_in, n_in - n_p4 - n_p5, n_p4 + n_p5, "done")
         # materialize's true input is the pre-dedupe union (canonical +

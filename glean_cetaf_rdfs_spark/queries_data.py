@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .operators import dedupe as D
 from .operators import multimodal as MM
 from .operators import similarity as S
+from .operators import spandedup as SP
 from .operators import textops as T
 
 
@@ -794,17 +795,28 @@ FROM l GROUP BY lang_pred ORDER BY lang_pred
 
 
 def q44_source_quality_gate(spark, sf_dir):
-    """Source-level curation: per source, doc count, mean punctuation
-    ratio, and how many docs pass a cheap quality gate (punct_ratio ≤
-    0.1 AND ≥ 5 tokens) — the aggregate a pipeline reads to deny-list
-    bad sources before training. One scan + one shuffle."""
+    """Source-level curation: per source, doc count, corpus punctuation
+    ratio in integer basis points, and how many docs pass a cheap
+    quality gate (punct*10 ≤ chars, i.e. punct ratio ≤ 0.1, AND ≥ 5
+    tokens) — the aggregate a pipeline reads to deny-list bad sources
+    before training. One scan + one shuffle.
+
+    Integer-exact by construction (round-3 fix): sums integer punct/char
+    counts and divides ONCE with integer floor division
+    (``sum(punct)*10000 DIV sum(chars)``), and gates each doc on an
+    integer comparison. The round-3 version averaged per-doc 4-dp-rounded
+    doubles, whose partition-order-dependent summation diverged from
+    DuckDB's sequential fold on the driver host — the exact cross-engine
+    float trap the repo's oracle conventions exist to avoid."""
     docs = _docs(spark, sf_dir)
-    qs = T.quality_score(docs, "doc_id", "text")
-    j = docs.select(F.col("doc_id").alias("id"), "source").join(qs, "id")
-    gate = (F.col("punct_ratio") <= 0.1) & (F.col("n_tokens") >= 5)
+    qc = T.quality_counts(docs, "doc_id", "text")
+    j = docs.select(F.col("doc_id").alias("id"), "source").join(qc, "id")
+    gate = (F.col("n_punct") * 10 <= F.greatest(F.col("n_chars"), F.lit(1))) \
+        & (F.col("n_tokens") >= 5)
     return (j.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("punct_ratio"), 4).alias("avg_punct"),
+                 F.expr("(sum(n_punct) * 10000) DIV greatest(sum(n_chars), 1)")
+                 .alias("avg_punct_bp"),
                  F.sum(F.when(gate, 1).otherwise(0)).alias("n_pass"))
             .orderBy("source"))
 
@@ -814,13 +826,54 @@ WITH t AS (SELECT doc_id AS id, source, text,
                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
            FROM documents),
 q AS (SELECT id, source, len(toks) AS n_tokens,
-             round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                   / greatest(length(text), 1), 4) AS punct_ratio
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                 AS n_punct
       FROM t)
 SELECT source, count(*) AS n_docs,
-       round(avg(punct_ratio), 4) AS avg_punct,
-       sum(CASE WHEN punct_ratio <= 0.1 AND n_tokens >= 5 THEN 1 ELSE 0 END) AS n_pass
+       CAST((sum(n_punct) * 10000) // greatest(sum(n_chars), 1) AS BIGINT)
+           AS avg_punct_bp,
+       sum(CASE WHEN n_punct * 10 <= greatest(n_chars, 1) AND n_tokens >= 5
+                THEN 1 ELSE 0 END) AS n_pass
 FROM q GROUP BY source ORDER BY source
+"""
+
+
+def q46_repeated_span_stats(spark, sf_dir):
+    """Substring-level dedup accounting (operators/spandedup.py): per
+    doc, token count, number of 5-word shingle positions shared with ≥2
+    distinct docs, and the token count those windows cover — the sizing
+    query a curation pipeline runs before span removal. Only docs with
+    at least one common position are returned (keeps the result
+    discriminative: 71 of 500 docs at sf0.01)."""
+    return (SP.repeated_span_stats(_docs(spark, sf_dir), "doc_id", "text",
+                                   k=5, min_docs=2)
+            .filter(F.col("n_common_pos") > 0)
+            .orderBy("id"))
+
+
+SQL_Q46 = """
+WITH t AS (SELECT doc_id AS id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+p0 AS (SELECT id, toks,
+              unnest(range(0, greatest(len(toks) - 4, 0))) AS i
+       FROM t),
+p AS (SELECT id, i,
+             array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS sh
+      FROM p0),
+c AS (SELECT sh FROM (SELECT sh, count(DISTINCT id) AS nd FROM p GROUP BY sh)
+      WHERE nd >= 2),
+h AS (SELECT p.id, p.i FROM p JOIN c USING (sh)),
+np AS (SELECT id, count(*) AS n_common_pos FROM h GROUP BY id),
+cov AS (SELECT count(*) AS n_removed_tokens, id
+        FROM (SELECT DISTINCT id, i + u AS ti
+              FROM h, (SELECT unnest(range(0, 5)) AS u) r2)
+        GROUP BY id)
+SELECT t.id, CAST(len(t.toks) AS INT) AS n_tokens,
+       np.n_common_pos, cov.n_removed_tokens
+FROM t JOIN np USING (id) JOIN cov USING (id)
+ORDER BY t.id
 """
 
 
@@ -930,6 +983,7 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q43_corpus_stats": (q43_corpus_stats, SQL_Q43),
     "q44_source_quality_gate": (q44_source_quality_gate, SQL_Q44),
     "q45_langid_confusion": (q45_langid_confusion, SQL_Q45),
+    "q46_repeated_span_stats": (q46_repeated_span_stats, SQL_Q46),
     "q30_multimodal_metadata": (q30_multimodal_metadata, SQL_Q30),
     "q31_frame_sample_plan": (q31_frame_sample_plan, SQL_Q31),
 }

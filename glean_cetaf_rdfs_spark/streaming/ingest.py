@@ -35,10 +35,33 @@ def stream_transcripts(spark: SparkSession, input_dir: str,
 
 
 def run_incremental(spark: SparkSession, input_dir: str, out_path: str,
-                    checkpoint_dir: str) -> None:
+                    checkpoint_dir: str, *,
+                    dedup_watermark: str | None = "7 days") -> None:
     """Process all currently-available transcript files into the graph
-    table, exactly once per file (streaming checkpoint), then stop."""
+    table, exactly once per file (streaming checkpoint), then stop.
+
+    ``dedup_watermark`` (default 7 days) bounds CROSS-BATCH exact
+    deduplication of input turns: a turn whose full row content replays
+    in a later file/trigger within the horizon is dropped before
+    extraction (``dropDuplicatesWithinWatermark`` state keyed on the row
+    hash, carried in the streaming checkpoint), so re-exported or
+    double-landed input cannot append duplicate triples to the graph
+    table — the round-3 gap where within-batch dedupe alone let
+    cross-batch duplicates through. Rows older than the horizon fall out
+    of state (bounded memory); duplicates arriving later than the
+    horizon are the job of the batch ``compact_buckets`` sweep
+    (streaming/checkpoint.py). ``None`` disables the gate."""
+    from pyspark.sql import functions as F
+
     stream = stream_transcripts(spark, input_dir)
+    if dedup_watermark is not None:
+        stream = (stream
+                  .withColumn("_row_md5",
+                              F.md5(F.to_json(F.struct(*stream.columns))))
+                  .transform(lambda s: streaming_exact_dedup(
+                      s, ["_row_md5"], ts_col="ts",
+                      watermark=dedup_watermark))
+                  .drop("_row_md5"))
     raw = extract_triples(stream)
     canonical, sameas = canonicalize_triples(raw)
     spo = (canonical.select("subj", "pred", "obj", "obj_is_iri")

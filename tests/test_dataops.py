@@ -371,3 +371,61 @@ def test_scale_hints_force_sort_merge_plan(docs):
     assert "CartesianProduct" not in big_plan
     assert "ShuffledHashJoin" in fast_plan
     assert "CartesianProduct" not in fast_plan
+
+
+# --- substring-level (span) dedup ------------------------------------------
+
+def test_repeated_span_removal_planted_boilerplate(spark):
+    """A license sentence planted in 3 of 4 docs must be detected and
+    removed from each carrier (recall 1 on the planted span), while the
+    docs' unique content and the clean doc are untouched."""
+    from glean_cetaf_rdfs_spark.operators import spandedup as SP
+
+    boiler = "this text is released under the example open license terms"
+    uniq = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "one two three four five six seven eight nine",
+        3: "red orange yellow green blue indigo violet colors",
+        4: "solo document with entirely unique words only here",
+    }
+    rows = [(1, uniq[1] + " " + boiler),
+            (2, boiler + " " + uniq[2]),
+            (3, uniq[3][:20] + " " + boiler + " " + uniq[3][21:]),
+            (4, uniq[4])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats = {r["id"]: r for r in
+             SP.repeated_span_stats(df, "doc_id", "text",
+                                    k=5, min_docs=2).collect()}
+    assert stats[4]["n_common_pos"] == 0
+    for i in (1, 2, 3):
+        assert stats[i]["n_removed_tokens"] >= len(boiler.split())
+
+    out = {r["id"]: r for r in
+           SP.remove_repeated_spans(df, "doc_id", "text",
+                                    k=5, min_docs=2).collect()}
+    for i in (1, 2, 3):
+        clean = out[i]["text_clean"]
+        assert boiler not in clean                      # span gone
+        for w in ("alpha", "nine", "violet"):
+            if w in uniq[i]:
+                assert w in clean                       # unique kept
+    assert out[4]["text_clean"] == uniq[4]              # clean doc intact
+    assert out[4]["n_tokens_removed"] == 0
+    # removal accounting consistent with stats
+    for i in (1, 2, 3, 4):
+        assert out[i]["n_tokens_removed"] == stats[i]["n_removed_tokens"]
+
+
+def test_repeated_span_stats_short_docs_no_rows(spark):
+    """Docs shorter than k words produce no shingle positions (and no
+    negative-length sequence errors)."""
+    from glean_cetaf_rdfs_spark.operators import spandedup as SP
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "too short"), (3, "")],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in
+           SP.repeated_span_stats(df, "doc_id", "text",
+                                  k=5, min_docs=2).collect()}
+    assert all(got[i]["n_common_pos"] == 0 for i in (1, 2, 3))

@@ -80,13 +80,21 @@ def test_salted_join_matches_plain(spark):
 
 
 def test_salt_spreads_identical_duplicate_rows(spark):
-    """Byte-identical duplicates of one hot key must land in MULTIPLE
-    salt shards (content-hash-only salting put them all in one, defeating
-    the mitigation in the duplicate-heavy case it targets)."""
+    """With the spread_duplicates OPT-IN, byte-identical duplicates of
+    one hot key must land in MULTIPLE salt shards (content-hash-only
+    salting puts them all in one, defeating the mitigation in the
+    duplicate-heavy case the opt-in targets). The DEFAULT is the pure
+    content hash — deterministic under task retry — per the documented
+    idempotent-routing contract."""
     from glean_cetaf_rdfs_spark.operators.skew import _stable_salt_src, with_salt
 
     df = spark.createDataFrame([("hot", "same-payload")] * 2000,
                                "key string, payload string").repartition(8)
-    n_shards = (with_salt(df, _stable_salt_src(df), n_salts=16)
+    n_shards = (with_salt(df, _stable_salt_src(df, spread_duplicates=True),
+                          n_salts=16)
                 .select("_salt").distinct().count())
     assert n_shards >= 8
+    # default: deterministic content hash → identical rows share a shard
+    n_det = (with_salt(df, _stable_salt_src(df), n_salts=16)
+             .select("_salt").distinct().count())
+    assert n_det == 1

@@ -18,7 +18,11 @@ def test_batch_lineage_rows_and_scratch_bounded(spark, tiny_df, tmp_path):
     out, ck = str(tmp_path / "graph"), str(tmp_path / "lineage")
     final = run_pipeline(spark, tiny_df, out, lineage_path=ck, run_id="t1")
     rows = {r["stage"]: r for r in spark.read.parquet(ck).collect()}
-    assert set(rows) == {"extract_canonicalize", "materialize"}
+    # gate row is written even on a clean run (rows_dropped=0) so
+    # consumers can tell "gate ran, zero quarantined" from "gate absent"
+    assert set(rows) == {"gate", "extract_canonicalize", "materialize"}
+    g = rows["gate"]
+    assert g["rows_dropped"] == 0 and g["rows_in"] == g["rows_out"]
     ec = rows["extract_canonicalize"]
     assert ec["rows_in"] == ec["rows_out"] + ec["rows_dropped"]
     assert ec["rows_dropped"] > 0  # fixture always has P4/P5 drops

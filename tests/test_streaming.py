@@ -43,6 +43,38 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
     assert final.filter(F.col("subj").contains("conv-000000/")).count() > 0
 
 
+def test_incremental_cross_batch_dedup(spark, tmp_path):
+    """Replayed input across TRIGGERS must not duplicate graph rows: the
+    second trigger re-lands every batch-1 turn (new file, identical
+    content) plus a delta; the watermark-bounded input dedup gate must
+    drop the replays so the graph table has no duplicate
+    (graph, subj, pred, obj) row, while the delta's triples land."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pdf = transcripts_pdf(6)
+    _write_batch(spark, pdf, inp)
+    # horizon must cover the fixture's 30-day ts spread — rows older
+    # than (max seen ts - watermark) are dropped as late by the
+    # stateful dedup operator, which is correct streaming semantics but
+    # not what this test is probing
+    run_incremental(spark, inp, out, ckpt, dedup_watermark="365 days")
+    n1 = spark.read.parquet(out).count()
+
+    # trigger 2: full replay of batch 1 + 3 new conversations
+    _write_batch(spark, pdf, inp)
+    _write_batch(spark, transcripts_pdf(3, offset=6), inp)
+    run_incremental(spark, inp, out, ckpt, dedup_watermark="365 days")
+
+    final = spark.read.parquet(out)
+    dup = (final.groupBy("graph", "subj", "pred", "obj")
+           .count().filter(F.col("count") > 1).count())
+    assert dup == 0
+    assert final.count() > n1  # the delta appended
+    assert final.filter(F.col("subj").contains("conv-000006/")).count() > 0
+
+
 def test_streaming_watermark_agg(spark, tmp_path):
     inp = str(tmp_path / "in")
     _write_batch(spark, transcripts_pdf(20), inp)
