@@ -102,6 +102,68 @@ def md5_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), F.md5(F.trim(norm)).alias("fp"))
 
 
+# --- greedy-BPE subword token counting (pandas/Arrow stage) ----------------
+
+# Frozen subword vocabulary fixture (BPE-merge products over the fixture
+# corpus's character distribution, hand-frozen). Order is irrelevant —
+# the encoder resolves longest-match-first; any character outside the
+# vocab falls back to a single-char token, so every text tokenizes.
+BPE_VOCAB: list[str] = [
+    "table", "stream", "spark", "query", "value", "customer", "window",
+    "merge", "batch", "filter", "column", "vector", "order", "group",
+    "join", "scan", "sort", "hash", "line", "data", "part", "row",
+    "key", "agg", "the", "th", "er", "an", "st", "qu", "ing", "on",
+    "re", "ar", "al", " ",
+]
+
+
+def bpe_pattern(vocab: list[str] | None = None) -> str:
+    """Regex encoding greedy longest-match tokenization: alternation
+    sorted longest-first (Python/Java regex alternation is
+    leftmost-FIRST, so longest-first ordering makes each match the
+    longest vocab piece at the cursor — exactly the greedy subword
+    scan), with a single-char fallback. Counting non-overlapping
+    matches IS the token count, at C speed — no per-character Python
+    loop."""
+    import re
+
+    pieces = sorted((vocab or BPE_VOCAB), key=len, reverse=True)
+    return "|".join(re.escape(p) for p in pieces) + "|[\\s\\S]"
+
+
+def bpe_count_py(text: str, vocab: list[str] | None = None) -> int:
+    """Pure-Python reference encoder (drives the frozen q49 oracle and
+    the drift guard)."""
+    import re
+
+    return len(re.findall(bpe_pattern(vocab), text or ""))
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str,
+                    vocab: list[str] | None = None) -> DataFrame:
+    """Tokenizer-real subword counts: greedy longest-match against a
+    shared vocabulary, replacing :func:`token_count`'s chars/4 estimate
+    for token-budget queries. → (id, n_bpe_tokens).
+
+    The compiled pattern ships to executors once per task via the
+    closure (the vocab is KBs; a production-sized 50k-merge vocab would
+    ride ``sparkContext.broadcast`` instead — same contract). Counting
+    runs inside the existing Arrow batch stage via the pandas
+    vectorized ``str.count``."""
+    pat = bpe_pattern(vocab)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "n_bpe_tokens": pdf[text_col].fillna("").str.count(pat)
+                .astype("int64"),
+            })
+
+    return (df.select(id_col, text_col)
+            .mapInPandas(run, schema="id long, n_bpe_tokens long"))
+
+
 # --- rolling-hash winnowing fingerprint (pandas/Arrow stage) ---------------
 
 _B, _WIN, _GRAM = 257, 8, 16

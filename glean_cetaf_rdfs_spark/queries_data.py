@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .operators import dedupe as D
 from .operators import multimodal as MM
 from .operators import similarity as S
+from .operators import piiscan as P
 from .operators import spandedup as SP
 from .operators import textops as T
 
@@ -877,6 +878,182 @@ ORDER BY t.id
 """
 
 
+def q50_span_removed_texts(spark, sf_dir):
+    """The span-dedup REWRITE itself, oracle-checked end to end: docs
+    with ≥1 removable span, their cleaned text (tokens covered by any
+    cross-doc common 5-shingle dropped, order preserved) and the removed
+    token count. Complements q46, which only verifies the accounting."""
+    return (SP.remove_repeated_spans(_docs(spark, sf_dir), "doc_id", "text",
+                                     k=5, min_docs=2)
+            .filter(F.col("n_tokens_removed") > 0)
+            .orderBy("id"))
+
+
+SQL_Q50 = """
+WITH t AS (SELECT doc_id AS id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+p0 AS (SELECT id, toks,
+              unnest(range(0, greatest(len(toks) - 4, 0))) AS i
+       FROM t),
+p AS (SELECT id, i,
+             array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS sh
+      FROM p0),
+c AS (SELECT sh FROM (SELECT sh, count(DISTINCT id) AS nd FROM p GROUP BY sh)
+      WHERE nd >= 2),
+h AS (SELECT p.id, p.i FROM p JOIN c USING (sh)),
+cov AS (SELECT id, list(DISTINCT i + u) AS rm
+        FROM h, (SELECT unnest(range(0, 5)) AS u) r2
+        GROUP BY id)
+SELECT t.id,
+       coalesce(array_to_string(
+           list_filter(t.toks, (x, j) -> NOT list_contains(cov.rm, j - 1)),
+           ' '), '') AS text_clean,
+       CAST(len(cov.rm) AS INT) AS n_tokens_removed
+FROM t JOIN cov USING (id) ORDER BY t.id
+"""
+
+
+def q49_bpe_token_count(spark, sf_dir):
+    """Tokenizer-real token budget per source: greedy longest-match
+    subword counts against the frozen BPE_VOCAB (textops.bpe_token_count
+    — Arrow stage, vectorized regex count), replacing q25's chars/4
+    estimate for budget decisions. Oracle = frozen VALUES from the
+    pure-Python encoder (textops.bpe_count_py) at the driver's
+    correctness sf (sf0.01; drift-guarded in test_entry_contract)."""
+    docs = _docs(spark, sf_dir)
+    counts = T.bpe_token_count(docs, "doc_id", "text")
+    j = docs.select(F.col("doc_id").alias("id"), "source").join(counts, "id")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_bpe_tokens").alias("n_bpe_tokens"))
+            .orderBy("source"))
+
+
+# Frozen golden for q49 from the pure-Python greedy-BPE encoder at
+# sf0.01 — regenerated and asserted every pytest run (drift guard in
+# test_entry_contract), same convention as _Q29/_Q32.
+_Q49_ORACLE_ROWS = [
+    ("src0", 25, 3369), ("src1", 25, 3533), ("src10", 25, 3000),
+    ("src11", 25, 3479), ("src12", 25, 2958), ("src13", 25, 3599),
+    ("src14", 25, 3115), ("src15", 25, 2994), ("src16", 25, 3121),
+    ("src17", 25, 3164), ("src18", 25, 3178), ("src19", 25, 2650),
+    ("src2", 25, 3227), ("src3", 25, 3224), ("src4", 25, 2958),
+    ("src5", 25, 3155), ("src6", 25, 2901), ("src7", 25, 3465),
+    ("src8", 25, 2638), ("src9", 25, 3152),
+]
+
+SQL_Q49 = ("SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+           "CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens FROM (VALUES "
+           + ", ".join(f"('{s}', {d}, {t})" for s, d, t in _Q49_ORACLE_ROWS)
+           + ") v(source, n_docs, n_bpe_tokens) ORDER BY source")
+
+
+def _augmented_docs(docs):
+    """The documents fixture contains no PII-shaped spans (letters-only
+    word salad), so the PII query plants them DETERMINISTICALLY as part
+    of the query fixture — a doc_id-derived email / phone / IPv4 suffix
+    on a subset of docs, reproduced identically in the SQL oracle. The
+    scan itself is exercised for real: most docs get nothing, planted
+    docs get 1-3 distinct span types."""
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 5 == 3,
+               F.concat(F.lit(" call +1-555-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.concat(F.lit(" host 10.0."), (did % 256).cast("string"),
+                        F.lit("."), (did % 100).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "source", aug.alias("text"))
+
+
+def q47_pii_scan(spark, sf_dir):
+    """PII span scan (operators/piiscan.py) rolled up per source: doc
+    counts carrying each PII type plus total span hits — the report a
+    pipeline reads to rank sources for scrubbing. One scan + one
+    shuffle; the regex counters are codegen'd expressions."""
+    docs = _augmented_docs(_docs(spark, sf_dir))
+    scan = P.pii_scan(docs, "doc_id", "text")
+    j = docs.select(F.col("doc_id").alias("id"), "source").join(scan, "id")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n_email") > 0).cast("long")).alias("n_email_docs"),
+                 F.sum((F.col("n_phone") > 0).cast("long")).alias("n_phone_docs"),
+                 F.sum((F.col("n_ipv4") > 0).cast("long")).alias("n_ipv4_docs"),
+                 F.sum("n_pii").alias("n_pii_hits"))
+            .orderBy("source"))
+
+
+SQL_Q47 = r"""
+WITH a AS (SELECT doc_id AS id, source,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 3
+            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+            ELSE '' END AS t
+  FROM documents),
+s AS (SELECT id, source,
+    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        AS n_email,
+    len(regexp_extract_all(t, '\+\d{1,3}-\d{3}-\d{4}')) AS n_phone,
+    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4
+  FROM a)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS n_email_docs,
+       sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS n_phone_docs,
+       sum(CASE WHEN n_ipv4 > 0 THEN 1 ELSE 0 END) AS n_ipv4_docs,
+       sum(n_email + n_phone + n_ipv4) AS n_pii_hits
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+# canary phrases for the contamination scan — fixed eval-set shingles
+# that genuinely occur in the fixture corpus (34/27/28/22 docs at
+# sf0.01), so the query discriminates without augmentation
+_CANARIES = ["table stream", "spark table", "merge batch", "query value"]
+
+
+def q48_contamination_scan(spark, sf_dir):
+    """Benchmark-contamination scan (operators/piiscan.py): literal
+    occurrences of eval-set canary phrases, rolled up per source —
+    n_docs, docs with ≥1 hit, total hits. Pure integer length math
+    (no regex), one scan + one shuffle."""
+    docs = _docs(spark, sf_dir)
+    scan = P.contamination_scan(docs, "doc_id", "text", _CANARIES)
+    j = docs.select(F.col("doc_id").alias("id"), "source").join(scan, "id")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n_canary_hits") > 0).cast("long"))
+                 .alias("n_contaminated"),
+                 F.sum("n_canary_hits").alias("n_hits"))
+            .orderBy("source"))
+
+
+def _sql_q48(canaries: list[str]) -> str:
+    hits = " + ".join(
+        f"(length(text) - length(replace(text, '{c}', ''))) // {len(c)}"
+        for c in canaries)
+    return f"""
+WITH s AS (SELECT doc_id AS id, source, {hits} AS n_canary_hits
+           FROM documents)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN n_canary_hits > 0 THEN 1 ELSE 0 END) AS n_contaminated,
+       sum(n_canary_hits) AS n_hits
+FROM s GROUP BY source ORDER BY source
+"""
+
+
 def q45_langid_confusion(spark, sf_dir):
     """Language-ID evaluation against the fixture's gold labels:
     (lang_gold, lang_pred, n) confusion counts — the tracking query a
@@ -984,6 +1161,10 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q44_source_quality_gate": (q44_source_quality_gate, SQL_Q44),
     "q45_langid_confusion": (q45_langid_confusion, SQL_Q45),
     "q46_repeated_span_stats": (q46_repeated_span_stats, SQL_Q46),
+    "q47_pii_scan": (q47_pii_scan, SQL_Q47),
+    "q48_contamination_scan": (q48_contamination_scan, _sql_q48(_CANARIES)),
+    "q49_bpe_token_count": (q49_bpe_token_count, SQL_Q49),
+    "q50_span_removed_texts": (q50_span_removed_texts, SQL_Q50),
     "q30_multimodal_metadata": (q30_multimodal_metadata, SQL_Q30),
     "q31_frame_sample_plan": (q31_frame_sample_plan, SQL_Q31),
 }

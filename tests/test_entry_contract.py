@@ -49,6 +49,43 @@ def test_q29_frozen_oracle_matches_python_winnow():
     assert got == _Q29_NFPS_SF001
 
 
+def test_q49_frozen_oracle_matches_python_bpe():
+    """The frozen VALUES oracle shipped for q49 must equal per-source
+    subword totals freshly derived from the pure-Python greedy-BPE
+    encoder over the driver's correctness-sf documents table — vocab or
+    fixture drift fails here before it can hash-fail at the driver."""
+    import duckdb
+    import pytest
+
+    from glean_cetaf_rdfs_spark.operators.textops import bpe_count_py
+    from glean_cetaf_rdfs_spark.queries_data import _Q49_ORACLE_ROWS
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not Path(path).exists():
+        pytest.skip("driver testdata not present")
+    rows = duckdb.sql(
+        f"SELECT source, text FROM '{path}' ORDER BY source").fetchall()
+    agg: dict[str, list[int]] = {}
+    for src, text in rows:
+        n_docs, n_toks = agg.setdefault(src, [0, 0])
+        agg[src] = [n_docs + 1, n_toks + bpe_count_py(text or "")]
+    got = sorted((s, d, t) for s, (d, t) in agg.items())
+    assert got == sorted(_Q49_ORACLE_ROWS)
+
+
+def test_bpe_greedy_longest_match_semantics():
+    """Greedy longest-match: 'the table' → ['the', ' ', 'table'] (not
+    th+e / ta+ble splits); unknown characters fall back to single-char
+    tokens so any text tokenizes; empty text → 0."""
+    from glean_cetaf_rdfs_spark.operators.textops import bpe_count_py
+
+    assert bpe_count_py("the table") == 3
+    assert bpe_count_py("zzz") == 3          # fallback singles
+    assert bpe_count_py("") == 0
+    assert bpe_count_py("tables") == 2       # 'table' + 's'
+    assert bpe_count_py("streaming") == 2    # 'stream' + 'ing'
+
+
 def test_q32_frozen_oracle_matches_python_oracle():
     """The frozen VALUES oracle shipped for q32 must equal the predicate
     counts freshly derived from the independent pure-Python rule oracle

@@ -1,0 +1,55 @@
+"""PII / contamination scan operator tests: exact span counts on
+planted spans, quarantine-gate split semantics, literal-canary
+occurrence math."""
+
+from __future__ import annotations
+
+from glean_cetaf_rdfs_spark.operators import piiscan as P
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "reach me at alice.smith+work@mail.example.org today"),
+         (2, "two mails a@b.co and c.d@e-f.org plus ip 192.168.0.1"),
+         (3, "call +44-555-1234 or +1-555-0000 now"),
+         (4, "nothing sensitive in this perfectly clean document"),
+         (5, "ip 10.0.0.1 and version 1.2.3 but not 1.2.3.4.5 hmm")],
+        "doc_id long, text string")
+
+
+def test_pii_scan_exact_counts(spark):
+    got = {r["id"]: r for r in
+           P.pii_scan(_df(spark), "doc_id", "text").collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (1, 0, 0)
+    assert (got[2]["n_email"], got[2]["n_ipv4"]) == (2, 1)
+    assert got[3]["n_phone"] == 2
+    assert got[4]["n_pii"] == 0
+    # "1.2.3" is not an IPv4; "1.2.3.4.5" matches on its first 4 octets
+    # (\b boundaries are digit/non-digit, '.' is a non-word char)
+    assert got[5]["n_ipv4"] == 2
+    for r in got.values():
+        assert r["n_pii"] == r["n_email"] + r["n_phone"] + r["n_ipv4"]
+
+
+def test_pii_gate_split_and_schema(spark):
+    df = _df(spark)
+    clean, bad = P.pii_gate(df, "doc_id", "text")
+    assert clean.columns == df.columns == bad.columns
+    assert {r["doc_id"] for r in clean.collect()} == {4}
+    assert {r["doc_id"] for r in bad.collect()} == {1, 2, 3, 5}
+    # threshold is a knob: ≤2 hits tolerated keeps single-span docs
+    clean2, bad2 = P.pii_gate(df, "doc_id", "text", max_hits=2)
+    assert {r["doc_id"] for r in bad2.collect()} == {2}
+
+
+def test_contamination_literal_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "the eval canary phrase appears twice: eval canary phrase"),
+         (2, "no overlap with anything held out"),
+         (3, "eval canary phrase once and special .*[chars] too")],
+        "doc_id long, text string")
+    got = {r["id"]: r["n_canary_hits"] for r in
+           P.contamination_scan(df, "doc_id", "text",
+                                ["eval canary phrase", ".*[chars]"]).collect()}
+    # literal matching — regex metacharacters in canaries are inert
+    assert got == {1: 2, 2: 0, 3: 2}
