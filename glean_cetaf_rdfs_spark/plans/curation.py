@@ -1,0 +1,100 @@
+"""End-to-end corpus-curation plan — the training-data analog of the KG
+``build_triples`` plan (plans/pipeline.py): compose the curation
+operators into ONE lazy DataFrame funnel
+
+    input docs
+      → PII gate           (operators/piiscan.pii_gate — quarantine split)
+      → exact dedup        (md5 fingerprint, keep lowest id — the
+                            q41 survivor convention)
+      → span removal       (operators/spandedup.remove_repeated_spans)
+      → quality gate       (integer-exact punct/token thresholds,
+                            operators/textops.quality_counts)
+
+Exact dedup MUST precede span removal: a byte-identical duplicate pair
+shares every k-shingle, so with the order reversed the span remover
+sees each copy's full text as "common" and erases BOTH documents to
+empty strings (caught by the planted-duplicate test). Dedup-first is
+also the cheap-stage-first order a production pipeline wants.
+
+returning the curated corpus plus a funnel-accounting DataFrame, the
+same rows_in/rows_out discipline as the KG pipeline's lineage (the
+reference tallies every drop stage, validateRDFs.sh:187-205).
+
+Scale shape: the gates are filtered scans (no shuffle); span removal
+shuffles shingle hits once; dedup is one hash-partitioned groupBy on
+the fingerprint with map-side partials. Nothing here collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.piiscan import pii_gate
+from ..operators.spandedup import remove_repeated_spans
+from ..operators.textops import quality_counts
+
+
+def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", *,
+                  k: int = 5, min_docs: int = 2,
+                  pii_max_hits: int = 0, min_tokens: int = 5,
+                  max_punct_permille: int = 100,
+                  ) -> tuple[DataFrame, DataFrame]:
+    """→ (curated, funnel).
+
+    ``curated``: (id, source, text_clean) — survivors of all four
+    stages, span-rewritten text. ``funnel``: (stage, n) with the row
+    count after each stage (plus total span-removed tokens), ordered by
+    the stage prefix — the report a pipeline owner reads to see where
+    documents go. The quality gate is integer-exact (punct*1000 ≤
+    chars*max_punct_permille), matching the q44 convention.
+
+    The stages are sequential by design: span commonality (min_docs)
+    is computed on the POST-gate, POST-dedup corpus, so a quarantined
+    document cannot vote a span into the removable set and a duplicate
+    pair cannot vote its full text in (see module docstring)."""
+    src_cols = [F.col(id_col).alias("id"), F.col("source"),
+                F.col(text_col)]
+    base = docs.select(*src_cols)
+
+    clean0, _quarantined = pii_gate(base, "id", text_col,
+                                    max_hits=pii_max_hits)
+
+    fp = clean0.withColumn("_fp", F.md5(text_col))
+    unique = (fp.groupBy("_fp").agg(F.min("id").alias("id"))
+              .join(fp, ["_fp", "id"])
+              .select("id", "source", text_col))
+
+    rewritten = remove_repeated_spans(unique, "id", text_col,
+                                      k=k, min_docs=min_docs)
+    staged = (unique.select("id", "source")
+              .join(rewritten, "id"))
+
+    qc = quality_counts(staged, "id", "text_clean")
+    gated = (staged.join(qc, "id")
+             .filter((F.col("n_punct") * 1000
+                      <= F.greatest(F.col("n_chars"), F.lit(1))
+                      * max_punct_permille)
+                     & (F.col("n_tokens") >= min_tokens))
+             .select("id", "source", "text_clean"))
+
+    funnel = (
+        base.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("00_input").alias("stage"), "n")
+        .unionByName(
+            clean0.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("01_pii_clean").alias("stage"), "n"))
+        .unionByName(
+            unique.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("02_unique").alias("stage"), "n"))
+        .unionByName(
+            staged.agg(F.coalesce(F.sum("n_tokens_removed"), F.lit(0))
+                       .alias("n"))
+            .select(F.lit("03_span_tokens_removed").alias("stage"), "n"))
+        .unionByName(
+            gated.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("04_quality_pass").alias("stage"), "n"))
+    )
+    return gated, funnel

@@ -914,6 +914,78 @@ FROM t JOIN cov USING (id) ORDER BY t.id
 """
 
 
+def q51_curation_funnel(spark, sf_dir):
+    """The full corpus-curation plan (plans/curation.curate_corpus) as
+    one oracle-checked funnel: PII gate → exact dedup → span removal →
+    integer-exact quality gate, reporting the row count after each
+    stage plus total span-removed tokens. Runs over the PII-augmented
+    docs (see _augmented_docs) so the gate is discriminative; the SQL
+    oracle replays all four stages."""
+    from .plans.curation import curate_corpus
+
+    docs = _augmented_docs(_docs(spark, sf_dir))
+    _curated, funnel = curate_corpus(docs, "doc_id", "text",
+                                     k=5, min_docs=2, pii_max_hits=0,
+                                     min_tokens=5, max_punct_permille=100)
+    return funnel.orderBy("stage")
+
+
+SQL_Q51 = r"""
+WITH a AS (SELECT doc_id AS id, source,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 3
+            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+            ELSE '' END AS t
+  FROM documents),
+p1 AS (SELECT id, source, t FROM a
+       WHERE len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           + len(regexp_extract_all(t, '\+\d{1,3}-\d{3}-\d{4}'))
+           + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) = 0),
+d AS (SELECT min(id) AS id FROM p1 GROUP BY md5(t)),
+u AS (SELECT p1.* FROM p1 JOIN d USING (id)),
+t1 AS (SELECT id, source,
+              list_filter(string_split(t, ' '), x -> x <> '') AS toks
+       FROM u),
+p0 AS (SELECT id, toks, unnest(range(0, greatest(len(toks) - 4, 0))) AS i
+       FROM t1),
+p AS (SELECT id, i, array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS sh
+      FROM p0),
+c AS (SELECT sh FROM (SELECT sh, count(DISTINCT id) AS nd FROM p GROUP BY sh)
+      WHERE nd >= 2),
+h AS (SELECT p.id, p.i FROM p JOIN c USING (sh)),
+cov AS (SELECT id, list(DISTINCT i + u) AS rm
+        FROM h, (SELECT unnest(range(0, 5)) AS u) r2
+        GROUP BY id),
+p2 AS (SELECT t1.id, t1.source,
+              CASE WHEN cov.rm IS NULL THEN array_to_string(t1.toks, ' ')
+                   ELSE coalesce(array_to_string(
+                       list_filter(t1.toks,
+                                   (x, j) -> NOT list_contains(cov.rm, j - 1)),
+                       ' '), '') END AS tc
+       FROM t1 LEFT JOIN cov USING (id)),
+q AS (SELECT id, tc,
+             len(list_filter(string_split(tc, ' '), x -> x <> '')) AS n_tokens,
+             length(tc) AS n_chars,
+             length(tc) - length(regexp_replace(tc, '[^\w\s]', '', 'g'))
+                 AS n_punct
+      FROM p2),
+p3 AS (SELECT * FROM q
+       WHERE n_punct * 1000 <= greatest(n_chars, 1) * 100 AND n_tokens >= 5)
+SELECT stage, CAST(n AS BIGINT) AS n FROM (
+    SELECT '00_input' AS stage, count(*) AS n FROM a
+    UNION ALL SELECT '01_pii_clean', count(*) FROM p1
+    UNION ALL SELECT '02_unique', count(*) FROM u
+    UNION ALL SELECT '03_span_tokens_removed', coalesce(sum(len(rm)), 0) FROM cov
+    UNION ALL SELECT '04_quality_pass', count(*) FROM p3
+) ORDER BY stage
+"""
+
+
 def q49_bpe_token_count(spark, sf_dir):
     """Tokenizer-real token budget per source: greedy longest-match
     subword counts against the frozen BPE_VOCAB (textops.bpe_token_count
@@ -1165,6 +1237,7 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q48_contamination_scan": (q48_contamination_scan, _sql_q48(_CANARIES)),
     "q49_bpe_token_count": (q49_bpe_token_count, SQL_Q49),
     "q50_span_removed_texts": (q50_span_removed_texts, SQL_Q50),
+    "q51_curation_funnel": (q51_curation_funnel, SQL_Q51),
     "q30_multimodal_metadata": (q30_multimodal_metadata, SQL_Q30),
     "q31_frame_sample_plan": (q31_frame_sample_plan, SQL_Q31),
 }

@@ -53,3 +53,35 @@ def test_contamination_literal_counts(spark):
                                 ["eval canary phrase", ".*[chars]"]).collect()}
     # literal matching — regex metacharacters in canaries are inert
     assert got == {1: 2, 2: 0, 3: 2}
+
+
+def test_curate_corpus_end_to_end(spark):
+    """Every stage of the curation funnel fires on its planted doc: the
+    PII doc is quarantined, the boilerplate span is removed from its
+    carriers, the all-punct doc fails the quality gate, the exact dup
+    collapses to the lowest id, and the funnel counts match."""
+    from glean_cetaf_rdfs_spark.plans.curation import curate_corpus
+
+    boiler = "released under the example open license terms apply"
+    rows = [
+        (1, "s0", "alpha beta gamma delta epsilon zeta " + boiler),
+        (2, "s0", boiler + " one two three four five six"),
+        (3, "s1", "write to bob@mail.example.org for details please now"),
+        (4, "s1", "!!! ??? ... ;;; ### $$$ %%% &&& *** ((("),
+        (5, "s2", "plain unique survivor document with enough words here"),
+        (6, "s2", "plain unique survivor document with enough words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    curated, funnel = curate_corpus(df, "doc_id", "text",
+                                    k=5, min_docs=2, min_tokens=5)
+    f = {r["stage"]: r["n"] for r in funnel.collect()}
+    assert f["00_input"] == 6
+    assert f["01_pii_clean"] == 5          # doc 3 quarantined
+    assert f["02_unique"] == 4             # 5/6 collapse to lowest id
+    assert f["03_span_tokens_removed"] >= 2 * len(boiler.split())
+    assert f["04_quality_pass"] == 3       # doc 4 fails punct gate
+    out = {r["id"]: r for r in curated.collect()}
+    assert set(out) == {1, 2, 5}           # lowest id survives the dup
+    assert boiler not in out[1]["text_clean"]
+    assert boiler not in out[2]["text_clean"]
+    assert "alpha" in out[1]["text_clean"]
