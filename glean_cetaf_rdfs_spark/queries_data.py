@@ -17,6 +17,7 @@ from .operators import dedupe as D
 from .operators import multimodal as MM
 from .operators import similarity as S
 from .operators import piiscan as P
+from .operators import sampling as SMP
 from .operators import spandedup as SP
 from .operators import textops as T
 
@@ -878,6 +879,87 @@ ORDER BY t.id
 """
 
 
+def q52_stratified_sample(spark, sf_dir):
+    """Training-mix construction (operators/sampling.py): sample each
+    source at its own deterministic hash-threshold rate (permille
+    derived from the source index — a stand-in for the mix weights a
+    data recipe specifies), report per source the input count, the
+    rate, and the sampled count. Membership is a pure function of
+    (salt, doc_id, rate) — reproducible across partitioning, retries,
+    and engines, which is what makes the oracle possible at all
+    (``sampleBy``'s RNG stream is partitioning-dependent)."""
+    docs = _docs(spark, sf_dir)
+    rates = {f"src{i}": (i * 53) % 900 + 50 for i in range(20)}
+    sampled = SMP.sample_stratified(docs, "doc_id", "source", rates,
+                                    salt="mix1")
+    n_all = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_s = (sampled.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_sampled")))
+    permille = (F.expr("CAST(substring(source, 4, 10) AS INT)") * 53) % 900 + 50
+    return (n_all.join(n_s, "source", "left").fillna(0, ["n_sampled"])
+            .select("source", "n_docs",
+                    permille.cast("int").alias("permille"), "n_sampled")
+            .orderBy("source"))
+
+
+SQL_Q52 = """
+SELECT source, count(*) AS n_docs,
+       CAST((CAST(substr(source, 4) AS INT) * 53) % 900 + 50 AS INT)
+           AS permille,
+       CAST(sum(CASE WHEN ('0x' || substr(md5('mix1' ||
+                                          CAST(doc_id AS VARCHAR)), 1, 8))
+                              ::UBIGINT % 1000
+                          < (CAST(substr(source, 4) AS INT) * 53) % 900 + 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q53_token_packing(spark, sf_dir):
+    """Greedy sequence packing (operators/packing.py) of each source's
+    docs into 512-BPE-token context windows: per source, doc count,
+    pack count, and the fullest pack's token total — the report a
+    training-example assembler reads to judge packing efficiency.
+    Oracle = frozen VALUES from the pure-Python greedy packer over the
+    pure-Python BPE counts at sf0.01 (drift-guarded in
+    test_entry_contract); the packing decision stream is sequential per
+    group, hence non-SQL-expressible."""
+    from .operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    counts = T.bpe_token_count(docs, "doc_id", "text")
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    packed = pack_sequences(src.join(counts, "id"), "id", "n_bpe_tokens",
+                            "source", budget=512)
+    fills = (packed.join(counts, "id")
+             .groupBy("stratum", "pack_id")
+             .agg(F.sum("n_bpe_tokens").alias("fill")))
+    n_docs = (packed.groupBy(F.col("stratum").alias("source"))
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    pstats = (fills.groupBy(F.col("stratum").alias("source"))
+              .agg(F.count(F.lit(1)).alias("n_packs"),
+                   F.max("fill").alias("max_pack_tokens")))
+    return n_docs.join(pstats, "source").orderBy("source")
+
+
+_Q53_ORACLE_ROWS = [
+    ("src0", 25, 8, 490), ("src1", 25, 8, 494), ("src10", 25, 7, 496),
+    ("src11", 25, 8, 507), ("src12", 25, 7, 504), ("src13", 25, 9, 512),
+    ("src14", 25, 8, 483), ("src15", 25, 8, 464), ("src16", 25, 7, 509),
+    ("src17", 25, 8, 470), ("src18", 25, 7, 511), ("src19", 25, 6, 496),
+    ("src2", 25, 8, 485), ("src3", 25, 8, 482), ("src4", 25, 7, 493),
+    ("src5", 25, 8, 449), ("src6", 25, 7, 505), ("src7", 25, 8, 511),
+    ("src8", 25, 6, 481), ("src9", 25, 8, 496),
+]
+
+SQL_Q53 = ("SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+           "CAST(n_packs AS BIGINT) AS n_packs, "
+           "CAST(max_pack_tokens AS BIGINT) AS max_pack_tokens FROM (VALUES "
+           + ", ".join(f"('{s}', {d}, {p}, {m})"
+                       for s, d, p, m in _Q53_ORACLE_ROWS)
+           + ") v(source, n_docs, n_packs, max_pack_tokens) ORDER BY source")
+
+
 def q50_span_removed_texts(spark, sf_dir):
     """The span-dedup REWRITE itself, oracle-checked end to end: docs
     with ≥1 removable span, their cleaned text (tokens covered by any
@@ -1238,6 +1320,8 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q49_bpe_token_count": (q49_bpe_token_count, SQL_Q49),
     "q50_span_removed_texts": (q50_span_removed_texts, SQL_Q50),
     "q51_curation_funnel": (q51_curation_funnel, SQL_Q51),
+    "q52_stratified_sample": (q52_stratified_sample, SQL_Q52),
+    "q53_token_packing": (q53_token_packing, SQL_Q53),
     "q30_multimodal_metadata": (q30_multimodal_metadata, SQL_Q30),
     "q31_frame_sample_plan": (q31_frame_sample_plan, SQL_Q31),
 }

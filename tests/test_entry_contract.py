@@ -73,6 +73,49 @@ def test_q49_frozen_oracle_matches_python_bpe():
     assert got == sorted(_Q49_ORACLE_ROWS)
 
 
+def test_q53_frozen_oracle_matches_python_packing():
+    """The frozen VALUES oracle shipped for q53 must equal per-source
+    greedy-pack stats freshly derived from the pure-Python packer over
+    pure-Python BPE counts at the driver's correctness sf."""
+    import duckdb
+    import pytest
+
+    from glean_cetaf_rdfs_spark.operators.packing import pack_greedy_py
+    from glean_cetaf_rdfs_spark.operators.textops import bpe_count_py
+    from glean_cetaf_rdfs_spark.queries_data import _Q53_ORACLE_ROWS
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not Path(path).exists():
+        pytest.skip("driver testdata not present")
+    rows = duckdb.sql(
+        f"SELECT source, doc_id, text FROM '{path}' "
+        "ORDER BY source, doc_id").fetchall()
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for src, did, text in rows:
+        by_src.setdefault(src, []).append((did, bpe_count_py(text or "")))
+    got = []
+    for src in sorted(by_src):
+        ids = [d for d, _ in by_src[src]]
+        counts = [c for _, c in by_src[src]]
+        packs = pack_greedy_py(ids, counts, 512)
+        fill: dict[int, int] = {}
+        for p, c in zip(packs, counts):
+            fill[p] = fill.get(p, 0) + c
+        got.append((src, len(ids), max(packs) + 1, max(fill.values())))
+    assert got == sorted(_Q53_ORACLE_ROWS)
+
+
+def test_pack_greedy_semantics():
+    """Greedy first-fit-in-order: overflow starts a new pack; an
+    oversized doc gets its own pack; empty input packs to nothing."""
+    from glean_cetaf_rdfs_spark.operators.packing import pack_greedy_py
+
+    assert pack_greedy_py([1, 2, 3], [300, 300, 100], 512) == [0, 1, 1]
+    assert pack_greedy_py([1, 2], [700, 10], 512) == [0, 1]   # oversize alone
+    assert pack_greedy_py([1, 2, 3], [512, 512, 1], 512) == [0, 1, 2]
+    assert pack_greedy_py([], [], 512) == []
+
+
 def test_bpe_greedy_longest_match_semantics():
     """Greedy longest-match: 'the table' → ['the', ' ', 'table'] (not
     th+e / ta+ble splits); unknown characters fall back to single-char

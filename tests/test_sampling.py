@@ -1,0 +1,94 @@
+"""Deterministic stratified sampling: partitioning-invariance, rate
+monotonicity, portability of the hash bucket, and dict semantics."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from glean_cetaf_rdfs_spark.operators import sampling as SMP
+
+
+def _docs(spark, n=400):
+    rows = [(i, f"src{i % 4}", f"doc number {i}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_sampling_is_partitioning_invariant(spark):
+    """The kept set must not change when the input is repartitioned —
+    the defect in RNG-stream sampling this operator exists to avoid."""
+    df = _docs(spark)
+    rates = {"src0": 500, "src1": 200, "src2": 900, "src3": 0}
+    a = {r["doc_id"] for r in
+         SMP.sample_stratified(df, "doc_id", "source", rates).collect()}
+    b = {r["doc_id"] for r in
+         SMP.sample_stratified(df.repartition(13, "text"), "doc_id",
+                               "source", rates).collect()}
+    assert a == b and a
+    assert not any(i % 4 == 3 for i in a)      # rate-0 stratum dropped
+
+
+def test_sampling_rate_monotone(spark):
+    """Raising a stratum's rate only ADDS rows (hash-threshold property
+    incremental mix rebalancing relies on)."""
+    df = _docs(spark)
+    lo = {r["doc_id"] for r in SMP.sample_stratified(
+        df, "doc_id", "source", {f"src{i}": 200 for i in range(4)}).collect()}
+    hi = {r["doc_id"] for r in SMP.sample_stratified(
+        df, "doc_id", "source", {f"src{i}": 600 for i in range(4)}).collect()}
+    assert lo < hi
+
+
+def test_hash_bucket_matches_python_md5(spark):
+    """The bucket must equal the portable definition int(md5[:8],16)%1000
+    — the contract the DuckDB oracle and any other engine reproduce."""
+    df = _docs(spark, 50)
+    got = {r["doc_id"]: r["bucket"] for r in
+           df.select("doc_id",
+                     SMP.hash_bucket(F.col("doc_id"), "s1")).collect()}
+    for i in range(50):
+        want = int(hashlib.md5(f"s1{i}".encode()).hexdigest()[:8], 16) % 1000
+        assert got[i] == want
+
+
+def test_missing_stratum_dropped_and_salt_changes_subset(spark):
+    df = _docs(spark)
+    only0 = SMP.sample_stratified(df, "doc_id", "source", {"src0": 1000})
+    assert {r["source"] for r in only0.collect()} == {"src0"}
+    assert only0.count() == 100                 # rate 1000 = keep all
+    a = {r["doc_id"] for r in SMP.sample_stratified(
+        df, "doc_id", "source", {"src0": 300}, salt="a").collect()}
+    b = {r["doc_id"] for r in SMP.sample_stratified(
+        df, "doc_id", "source", {"src0": 300}, salt="b").collect()}
+    assert a != b                               # different salt, different draw
+
+
+def test_pack_sequences_budget_and_shard_independence(spark):
+    """Distributed packing: every pack (except oversize singletons) fits
+    the budget; pack_pos is dense in-order per pack; sharded packing
+    assigns every doc exactly once and never mixes shards in a pack."""
+    from glean_cetaf_rdfs_spark.operators.packing import pack_sequences
+
+    rows = [(i, "s0" if i % 2 else "s1", 10 + (i * 37) % 200)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n int")
+
+    packed = pack_sequences(df, "doc_id", "n", "source", budget=256)
+    got = packed.join(df.select(F.col("doc_id").alias("id"), "n"), "id")
+    fills = {r["pack_id"]: r["s"] for r in
+             got.groupBy("pack_id").agg(F.sum("n").alias("s")).collect()}
+    sizes = {r["pack_id"]: r["c"] for r in
+             got.groupBy("pack_id").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for pid, fill in fills.items():
+        assert fill <= 256 or sizes[pid] == 1     # only oversize alone
+    assert packed.count() == 300                  # every doc packed once
+    assert packed.select("id").distinct().count() == 300
+
+    sharded = pack_sequences(df, "doc_id", "n", "source", budget=256,
+                             n_shards=4)
+    assert sharded.count() == 300
+    assert sharded.select("id").distinct().count() == 300
+    # pack ids embed the shard → packs never span shards by construction
+    pos = {(r["pack_id"], r["pack_pos"]) for r in sharded.collect()}
+    assert len(pos) == 300                        # (pack, pos) unique
