@@ -48,6 +48,8 @@ def exact_dedup_groups(df: DataFrame, id_col: str, key: Column) -> DataFrame:
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: → (id, shingle).
+    PRECONDITION: ``id_col`` uniquely identifies a row — with duplicate
+    ids the per-id window would interleave the rows' token streams.
 
     Docs with fewer than ``n`` words yield zero shingles (same as the
     SQL oracle). Built as posexplode(split) + n-1 ``lead`` windows over

@@ -28,12 +28,13 @@ from pyspark.sql import functions as F
 from .sampling import hash_bucket
 
 
-def pack_greedy_py(ids: list[int], counts: list[int], budget: int) -> list[int]:
-    """Pure greedy first-fit-in-order: pack index per doc. A doc that
-    would overflow the running pack starts a new one; a doc alone
-    larger than the budget gets its own (overfull) pack — callers
-    decide whether to truncate downstream. Reference implementation for
-    both the Spark stage and the frozen oracle."""
+def pack_greedy_py(counts: list[int], budget: int) -> list[int]:
+    """Pure greedy first-fit-in-order over counts (callers supply them
+    already in pack order): pack index per count. A doc that would
+    overflow the running pack starts a new one; a doc alone larger than
+    the budget gets its own (overfull) pack — callers decide whether to
+    truncate downstream. Reference implementation for both the Spark
+    stage and the frozen oracle."""
     packs, total, cur = [], 0, 0
     for c in counts:
         if total > 0 and total + c > budget:
@@ -63,8 +64,7 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
-        packs = pack_greedy_py(pdf["id"].tolist(),
-                               pdf["_n"].tolist(), budget)
+        packs = pack_greedy_py(pdf["_n"].tolist(), budget)
         stratum, shard = pdf["stratum"].iat[0], int(pdf["_shard"].iat[0])
         pos = []
         seen: dict[int, int] = {}

@@ -29,15 +29,24 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def _span_count(text_col: str, rx: str):
+    """Codegen'd span count for one pattern; NULL text counts as 0 (a
+    NULL would otherwise propagate through size() and make gates drop
+    the row from BOTH sides of a split)."""
+    return F.size(F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(rx), F.lit(0)))
+
+
 def pii_scan(df: DataFrame, id_col: str, text_col: str,
              patterns: dict[str, str] | None = None) -> DataFrame:
     """Per-doc PII span counts, one column per pattern plus a total:
     → (id, n_<name>..., n_pii). Vectorized ``regexp_extract_all``;
-    each pattern is one codegen'd expression over the same scan."""
-    pats = patterns or PII_PATTERNS
+    each pattern is one codegen'd expression over the same scan.
+    ``patterns={}`` means scan for nothing (all zeros); only ``None``
+    selects the defaults."""
+    pats = PII_PATTERNS if patterns is None else patterns
     counts = [
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0)))
-        .alias(f"n_{name}")
+        _span_count(text_col, rx).alias(f"n_{name}")
         for name, rx in pats.items()
     ]
     out = df.select(F.col(id_col).alias("id"), *counts)
@@ -49,9 +58,11 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str,
 def _literal_hits(text_col: Column, canary: str) -> Column:
     """Occurrence count of a literal canary phrase: length difference
     divided by phrase length — pure integer math, identical in any
-    engine (no regex escaping concerns for arbitrary phrases)."""
-    return ((F.length(text_col)
-             - F.length(F.replace(text_col, F.lit(canary), F.lit(""))))
+    engine (no regex escaping concerns for arbitrary phrases). NULL
+    text counts as 0."""
+    t = F.coalesce(text_col, F.lit(""))
+    return ((F.length(t)
+             - F.length(F.replace(t, F.lit(canary), F.lit(""))))
             / len(canary)).cast("long")
 
 
@@ -70,17 +81,19 @@ def contamination_scan(df: DataFrame, id_col: str, text_col: str,
                      total.alias("n_canary_hits"))
 
 
-def pii_gate(df: DataFrame, id_col: str, text_col: str,
+def pii_gate(df: DataFrame, text_col: str,
              patterns: dict[str, str] | None = None,
              max_hits: int = 0) -> tuple[DataFrame, DataFrame]:
     """Split (clean, quarantined) on total PII hits > ``max_hits`` —
     the content analog of the S4 format gate, same contract: both sides
-    keep the input schema, callers count the quarantine side into
-    lineage. The scan expression is inlined into both predicates so
-    each side is a single pushdown-friendly filtered scan."""
-    pats = patterns or PII_PATTERNS
-    total = sum(
-        (F.size(F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0)))
-         for rx in pats.values()),
-        F.lit(0))
+    keep the input schema and ``clean ∪ quarantined = input`` exactly
+    (NULL text counts as 0 hits → clean; without the coalesce a NULL
+    total would fail BOTH predicates and silently drop the row from
+    both sides). ``patterns={}`` disables every rule (everything
+    clean); only ``None`` selects the defaults. The scan expression is
+    inlined into both predicates so each side is a single
+    pushdown-friendly filtered scan."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    total = sum((_span_count(text_col, rx) for rx in pats.values()),
+                F.lit(0))
     return (df.filter(total <= max_hits), df.filter(total > max_hits))

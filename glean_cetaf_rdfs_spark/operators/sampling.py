@@ -49,4 +49,4 @@ def sample_stratified(df: DataFrame, id_col: str, strata_col: str,
     bucket = hash_bucket(F.col(id_col), salt)
     return (df.join(F.broadcast(rates), strata_col)
             .filter(bucket < F.col("_permille"))
-            .drop("_permille"))
+            .select(*df.columns))  # join reorders; restore input schema

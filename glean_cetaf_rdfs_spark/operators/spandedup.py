@@ -43,7 +43,11 @@ def shingle_positions(df: DataFrame, id_col: str, text_col: str,
                       k: int = 5) -> DataFrame:
     """→ (id, pos, sh): the k-word shingle starting at 0-based token
     position ``pos``, one row per position (docs shorter than k words
-    contribute no rows).
+    contribute no rows). PRECONDITION: ``id_col`` uniquely identifies a
+    row (a documents table keyed by doc_id) — with duplicate ids the
+    per-id window would interleave the rows' token streams into
+    nonsense shingles. Every downstream consumer (stats joins, removal
+    rewrite) already requires unique doc ids for the same reason.
 
     Built as posexplode(tokens) + k-1 ``lead`` windows over (id, pos)
     rather than a per-row ``transform(sequence, slice)`` — higher-order
@@ -78,16 +82,18 @@ def common_shingles(pos_df: DataFrame, min_docs: int = 2) -> DataFrame:
 
 def _covered_indices(df: DataFrame, id_col: str, text_col: str,
                      k: int, min_docs: int) -> DataFrame:
-    """→ distinct (id, tok_i): token indices covered by any common
-    shingle window."""
+    """→ (id, tok_i) with possible duplicates: token indices covered by
+    any common shingle window. The sole consumer aggregates with
+    ``collect_set``, which dedups — a ``distinct()`` here would add a
+    second full shuffle of the k-multiplied exploded rows for no
+    semantic effect."""
     pos = shingle_positions(df, id_col, text_col, k)
     common = common_shingles(pos, min_docs)
     hits = pos.join(common, "sh")
-    return (hits.select(
+    return hits.select(
         "id",
         F.explode(F.sequence(F.col("pos"),
                              F.col("pos") + F.lit(k - 1))).alias("tok_i"))
-        .distinct())
 
 
 def repeated_span_stats(df: DataFrame, id_col: str, text_col: str,

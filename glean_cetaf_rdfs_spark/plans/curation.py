@@ -59,7 +59,7 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                 F.col(text_col)]
     base = docs.select(*src_cols)
 
-    clean0, _quarantined = pii_gate(base, "id", text_col,
+    clean0, _quarantined = pii_gate(base, text_col,
                                     max_hits=pii_max_hits)
 
     fp = clean0.withColumn("_fp", F.md5(text_col))

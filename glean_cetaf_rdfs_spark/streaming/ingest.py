@@ -42,15 +42,29 @@ def run_incremental(spark: SparkSession, input_dir: str, out_path: str,
 
     ``dedup_watermark`` (default 7 days) bounds CROSS-BATCH exact
     deduplication of input turns: a turn whose full row content replays
-    in a later file/trigger within the horizon is dropped before
-    extraction (``dropDuplicatesWithinWatermark`` state keyed on the row
-    hash, carried in the streaming checkpoint), so re-exported or
+    in a later file/trigger is dropped before extraction
+    (``dropDuplicatesWithinWatermark`` state keyed on the row hash,
+    carried in the streaming checkpoint), so re-exported or
     double-landed input cannot append duplicate triples to the graph
     table — the round-3 gap where within-batch dedupe alone let
-    cross-batch duplicates through. Rows older than the horizon fall out
-    of state (bounded memory); duplicates arriving later than the
-    horizon are the job of the batch ``compact_buckets`` sweep
-    (streaming/checkpoint.py). ``None`` disables the gate."""
+    cross-batch duplicates through.
+
+    The watermark rides an ARRIVAL-time column (the micro-batch
+    timestamp), NOT the event-time ``ts``: transcript files land in no
+    event-time order, and an event-time watermark would silently DELETE
+    late-arriving unique rows (standard late-data semantics — wrong for
+    an ingestion gate). With arrival time, no row is ever "late":
+    unique rows always pass, and a replay is dropped iff it arrives
+    within the horizon of the first copy's arrival. State evicts after
+    the horizon (bounded memory); replays arriving later than that are
+    the job of the batch ``compact_buckets`` sweep
+    (streaming/checkpoint.py). ``None`` disables the gate.
+
+    Checkpoint compatibility: enabling the gate adds a stateful
+    operator to the streaming plan. A checkpoint created WITHOUT it
+    (pre-gate releases, or ``dedup_watermark=None``) cannot be resumed
+    with the gate on (Spark validates the stateful-operator layout) —
+    keep the setting stable per checkpoint_dir, or start a fresh one."""
     from pyspark.sql import functions as F
 
     stream = stream_transcripts(spark, input_dir)
@@ -58,10 +72,10 @@ def run_incremental(spark: SparkSession, input_dir: str, out_path: str,
         stream = (stream
                   .withColumn("_row_md5",
                               F.md5(F.to_json(F.struct(*stream.columns))))
-                  .transform(lambda s: streaming_exact_dedup(
-                      s, ["_row_md5"], ts_col="ts",
-                      watermark=dedup_watermark))
-                  .drop("_row_md5"))
+                  .withColumn("_arrival", F.current_timestamp())
+                  .withWatermark("_arrival", dedup_watermark)
+                  .dropDuplicatesWithinWatermark(["_row_md5"])
+                  .drop("_row_md5", "_arrival"))
     raw = extract_triples(stream)
     canonical, sameas = canonicalize_triples(raw)
     spo = (canonical.select("subj", "pred", "obj", "obj_is_iri")

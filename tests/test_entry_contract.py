@@ -95,13 +95,12 @@ def test_q53_frozen_oracle_matches_python_packing():
         by_src.setdefault(src, []).append((did, bpe_count_py(text or "")))
     got = []
     for src in sorted(by_src):
-        ids = [d for d, _ in by_src[src]]
         counts = [c for _, c in by_src[src]]
-        packs = pack_greedy_py(ids, counts, 512)
+        packs = pack_greedy_py(counts, 512)
         fill: dict[int, int] = {}
         for p, c in zip(packs, counts):
             fill[p] = fill.get(p, 0) + c
-        got.append((src, len(ids), max(packs) + 1, max(fill.values())))
+        got.append((src, len(counts), max(packs) + 1, max(fill.values())))
     assert got == sorted(_Q53_ORACLE_ROWS)
 
 
@@ -110,10 +109,10 @@ def test_pack_greedy_semantics():
     oversized doc gets its own pack; empty input packs to nothing."""
     from glean_cetaf_rdfs_spark.operators.packing import pack_greedy_py
 
-    assert pack_greedy_py([1, 2, 3], [300, 300, 100], 512) == [0, 1, 1]
-    assert pack_greedy_py([1, 2], [700, 10], 512) == [0, 1]   # oversize alone
-    assert pack_greedy_py([1, 2, 3], [512, 512, 1], 512) == [0, 1, 2]
-    assert pack_greedy_py([], [], 512) == []
+    assert pack_greedy_py([300, 300, 100], 512) == [0, 1, 1]
+    assert pack_greedy_py([700, 10], 512) == [0, 1]   # oversize alone
+    assert pack_greedy_py([512, 512, 1], 512) == [0, 1, 2]
+    assert pack_greedy_py([], 512) == []
 
 
 def test_bpe_greedy_longest_match_semantics():

@@ -33,13 +33,32 @@ def test_pii_scan_exact_counts(spark):
 
 def test_pii_gate_split_and_schema(spark):
     df = _df(spark)
-    clean, bad = P.pii_gate(df, "doc_id", "text")
+    clean, bad = P.pii_gate(df, "text")
     assert clean.columns == df.columns == bad.columns
     assert {r["doc_id"] for r in clean.collect()} == {4}
     assert {r["doc_id"] for r in bad.collect()} == {1, 2, 3, 5}
     # threshold is a knob: ≤2 hits tolerated keeps single-span docs
-    clean2, bad2 = P.pii_gate(df, "doc_id", "text", max_hits=2)
+    clean2, bad2 = P.pii_gate(df, "text", max_hits=2)
     assert {r["doc_id"] for r in bad2.collect()} == {2}
+
+
+def test_pii_null_text_and_empty_patterns(spark):
+    """NULL text rows count 0 hits and land on the CLEAN side — the gate
+    contract is clean + quarantined = input exactly. patterns={} means
+    no rules (everything clean); only None selects the defaults."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "mail me a@b.co")],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in P.pii_scan(df, "doc_id", "text").collect()}
+    assert got[1]["n_pii"] == 0 and got[1]["n_email"] == 0
+    clean, bad = P.pii_gate(df, "text")
+    assert {r["doc_id"] for r in clean.collect()} == {1}
+    assert {r["doc_id"] for r in bad.collect()} == {2}
+    assert clean.count() + bad.count() == df.count()
+    clean_all, bad_none = P.pii_gate(df, "text", patterns={})
+    assert clean_all.count() == 2 and bad_none.count() == 0
+    scan = P.contamination_scan(df, "doc_id", "text", ["a@b"]).collect()
+    assert {r["id"]: r["n_canary_hits"] for r in scan} == {1: 0, 2: 1}
 
 
 def test_contamination_literal_counts(spark):

@@ -55,17 +55,15 @@ def test_incremental_cross_batch_dedup(spark, tmp_path):
 
     pdf = transcripts_pdf(6)
     _write_batch(spark, pdf, inp)
-    # horizon must cover the fixture's 30-day ts spread — rows older
-    # than (max seen ts - watermark) are dropped as late by the
-    # stateful dedup operator, which is correct streaming semantics but
-    # not what this test is probing
-    run_incremental(spark, inp, out, ckpt, dedup_watermark="365 days")
+    # default gate: arrival-time watermark, so the fixture's 30-day
+    # event-ts spread is irrelevant — no unique row is ever "late"
+    run_incremental(spark, inp, out, ckpt)
     n1 = spark.read.parquet(out).count()
 
     # trigger 2: full replay of batch 1 + 3 new conversations
     _write_batch(spark, pdf, inp)
     _write_batch(spark, transcripts_pdf(3, offset=6), inp)
-    run_incremental(spark, inp, out, ckpt, dedup_watermark="365 days")
+    run_incremental(spark, inp, out, ckpt)
 
     final = spark.read.parquet(out)
     dup = (final.groupBy("graph", "subj", "pred", "obj")
