@@ -98,3 +98,34 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
             .select(F.lit("04_quality_pass").alias("stage"), "n"))
     )
     return gated, funnel
+
+
+def run_curation(spark, docs: DataFrame, out_path: str, *,
+                 lineage_path: str | None = None, run_id: str = "curate",
+                 **curate_kwargs) -> DataFrame:
+    """Materialize the curated corpus and account for it — the curation
+    analog of ``run_pipeline`` (plans/pipeline.py): write the survivors
+    partitioned by source, and when ``lineage_path`` is given append one
+    lineage row per funnel stage in the engine's standard
+    (rows_in, rows_out, rows_dropped) schema with the
+    rows_in == rows_out + rows_dropped invariant per row (the span
+    stage rewrites text without dropping rows, so it reports
+    dropped=0; its token accounting lives in the funnel/q51). Returns
+    the written table."""
+    curated, funnel = curate_corpus(docs, **curate_kwargs)
+    curated.write.mode("overwrite").partitionBy("source").parquet(out_path)
+    if lineage_path is not None:
+        from ..streaming.checkpoint import _append_ckpt
+
+        f = {r["stage"]: r["n"] for r in funnel.collect()}
+        n_in, n_pii = f["00_input"], f["01_pii_clean"]
+        n_uni, n_q = f["02_unique"], f["04_quality_pass"]
+        _append_ckpt(spark, lineage_path, run_id, "pii_gate", "all",
+                     n_in, n_pii, n_in - n_pii, "done")
+        _append_ckpt(spark, lineage_path, run_id, "exact_dedup", "all",
+                     n_pii, n_uni, n_pii - n_uni, "done")
+        _append_ckpt(spark, lineage_path, run_id, "span_rewrite", "all",
+                     n_uni, n_uni, 0, "done")
+        _append_ckpt(spark, lineage_path, run_id, "quality_gate", "all",
+                     n_uni, n_q, n_uni - n_q, "done")
+    return spark.read.parquet(out_path)

@@ -104,3 +104,31 @@ def test_curate_corpus_end_to_end(spark):
     assert boiler not in out[1]["text_clean"]
     assert boiler not in out[2]["text_clean"]
     assert "alpha" in out[1]["text_clean"]
+
+
+def test_run_curation_writes_partitions_and_lineage(spark, tmp_path):
+    """run_curation materializes survivors partitioned by source and
+    appends one lineage row per funnel stage, each satisfying
+    rows_in == rows_out + rows_dropped, chaining stage to stage."""
+    import glob
+
+    from glean_cetaf_rdfs_spark.plans.curation import run_curation
+
+    rows = [(1, "s0", "alpha beta gamma delta epsilon zeta eta"),
+            (2, "s0", "alpha beta gamma delta epsilon zeta eta"),  # dup of 1
+            (3, "s1", "write to bob@mail.example.org for details please"),
+            (4, "s1", "one two three four five six seven eight")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out, ck = str(tmp_path / "corpus"), str(tmp_path / "lineage")
+    final = run_curation(spark, df, out, lineage_path=ck)
+    assert {r["id"] for r in final.collect()} == {1, 4}
+    assert glob.glob(out + "/source=s0")       # partitioned layout
+    lin = {r["stage"]: r for r in spark.read.parquet(ck).collect()}
+    assert set(lin) == {"pii_gate", "exact_dedup", "span_rewrite",
+                        "quality_gate"}
+    for r in lin.values():
+        assert r["rows_in"] == r["rows_out"] + r["rows_dropped"]
+    assert lin["pii_gate"]["rows_dropped"] == 1      # doc 3
+    assert lin["exact_dedup"]["rows_dropped"] == 1   # doc 2
+    assert lin["pii_gate"]["rows_out"] == lin["exact_dedup"]["rows_in"]
+    assert lin["exact_dedup"]["rows_out"] == lin["quality_gate"]["rows_in"]
