@@ -92,3 +92,90 @@ def test_pack_sequences_budget_and_shard_independence(spark):
     # pack ids embed the shard → packs never span shards by construction
     pos = {(r["pack_id"], r["pack_pos"]) for r in sharded.collect()}
     assert len(pos) == 300                        # (pack, pos) unique
+
+
+# --- property tests (hypothesis) -------------------------------------------
+
+def test_pack_greedy_properties():
+    """Invariants over random count streams: (a) pack indices are
+    non-decreasing and start at 0; (b) a pack exceeds the budget only
+    when a SINGLE nonzero-count member did so alone (zero-count docs
+    occupy no budget and may share such a pack); (c) splitting never
+    reorders docs."""
+    from hypothesis import given, strategies as st
+
+    from glean_cetaf_rdfs_spark.operators.packing import pack_greedy_py
+
+    @given(st.lists(st.integers(min_value=0, max_value=2000), max_size=200),
+           st.integers(min_value=1, max_value=1024))
+    def check(counts, budget):
+        packs = pack_greedy_py(counts, budget)
+        assert len(packs) == len(counts)
+        if packs:
+            assert packs[0] == 0
+            assert all(b - a in (0, 1) for a, b in zip(packs, packs[1:]))
+            fill: dict[int, int] = {}
+            nz: dict[int, int] = {}
+            for p, c in zip(packs, counts):
+                fill[p] = fill.get(p, 0) + c
+                nz[p] = nz.get(p, 0) + (1 if c > 0 else 0)
+            for p, f in fill.items():
+                assert f <= budget or nz[p] == 1
+
+    check()
+
+
+def test_bpe_count_properties():
+    """Invariants over arbitrary text: count is 0 iff text is empty,
+    never exceeds len(text) (fallback singles), and is additive-or-
+    better under concatenation with a space (greedy can only merge
+    across the boundary, never split)."""
+    from hypothesis import given, strategies as st
+
+    from glean_cetaf_rdfs_spark.operators.textops import bpe_count_py
+
+    @given(st.text(max_size=120))
+    def check(t):
+        n = bpe_count_py(t)
+        assert (n == 0) == (t == "")
+        assert n <= len(t)
+
+    check()
+
+
+def test_hash_bucket_range_property():
+    """Buckets land in [0, n) for arbitrary ids and salts (pure-Python
+    mirror of the Column expression)."""
+    import hashlib
+
+    from hypothesis import given, strategies as st
+
+    @given(st.integers(min_value=0, max_value=2**62),
+           st.text(alphabet="abcdef0123456789", max_size=8),
+           st.integers(min_value=1, max_value=4096))
+    def check(i, salt, n):
+        b = int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8], 16) % n
+        assert 0 <= b < n
+
+    check()
+
+
+# --- plan-shape contracts for the round-4 queries --------------------------
+
+def test_new_query_plan_shapes(spark):
+    """q46/q47/q52 physical plans keep their scale contracts: no
+    cartesian product anywhere; the PII counters stay in one projection
+    (no Python eval node); the sampling rates join is broadcast."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("q46_repeated_span_stats", "q47_pii_scan",
+                 "q48_contamination_scan", "q52_stratified_sample"):
+        plan = qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name      # no row-Python
+        assert "ArrowEvalPython" not in plan, name      # no pandas UDF either
+    rates_plan = qs["q52_stratified_sample"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in rates_plan            # rates side broadcast
