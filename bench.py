@@ -50,6 +50,10 @@ HEADLINE = [
     "q47_pii_scan",
     "q48_contamination_scan",
     "q49_bpe_token_count",
+    "q50_span_removed_texts",
+    "q51_curation_funnel",
+    "q52_stratified_sample",
+    "q53_token_packing",
 ]
 
 
