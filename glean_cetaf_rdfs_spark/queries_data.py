@@ -274,6 +274,37 @@ def _query_vec(spark, sf_dir) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
+def q54_embedding_dup_pairs_planted(spark, sf_dir):
+    """q21's banded sign-LSH near-dup path made DISCRIMINATIVE at the
+    driver's correctness scale: the sf0.01 embeddings contain no true
+    near-dup pairs (q21 is green-but-empty there), so this variant
+    deterministically plants five exact duplicates (vec_id + 1000000,
+    identical vector — the query-fixture augmentation pattern of q47)
+    and the blocking MUST surface all five (identical vectors share
+    every band bucket; cos rounds to 1.0). The SQL oracle applies the
+    same augmentation and the identical literal-plane banding."""
+    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
+    planted = (emb.filter(F.col("vec_id") < 5)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       "embedding"))
+    return (D.embedding_cosine_pairs_bucketed(
+                emb.unionByName(planted), "vec_id", "embedding",
+                threshold=0.9, n_planes=8, n_bands=8)
+            .orderBy("id_a", "id_b"))
+
+
+def sql_q54(dim: int) -> str:
+    base = (sql_q21(dim)
+            .replace("FROM embeddings", "FROM aug")
+            .replace("JOIN embeddings", "JOIN aug"))
+    return base.replace(
+        "WITH bk AS",
+        "WITH aug AS (SELECT vec_id, embedding FROM embeddings\n"
+        "             UNION ALL\n"
+        "             SELECT vec_id + 1000000 AS vec_id, embedding\n"
+        "             FROM embeddings WHERE vec_id < 5), bk AS", 1)
+
+
 def q22_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (query = vector 0)."""
     return S.cosine_topk(_embs(spark, sf_dir), "vec_id", "embedding",
@@ -1299,6 +1330,8 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q37_dup_clusters_cc": (q37_dup_clusters_cc, SQL_Q37),
     "q41_dedup_apply": (q41_dedup_apply, SQL_Q41),
     "q21_embedding_dup_pairs": (q21_embedding_dup_pairs, sql_q21(64)),
+    "q54_embedding_dup_pairs_planted": (q54_embedding_dup_pairs_planted,
+                                        sql_q54(64)),
     "q22_cosine_topk": (q22_cosine_topk, SQL_Q22),
     "q23_lsh_bucket_histogram": (q23_lsh_bucket_histogram, sql_q23(64)),
     "q24_lsh_bucket_topk": (q24_lsh_bucket_topk, sql_q24(64)),
