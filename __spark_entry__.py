@@ -22,7 +22,28 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from glean_cetaf_rdfs_spark.queries import RELATIONAL_QUERIES  # noqa: E402
-from glean_cetaf_rdfs_spark.queries_data import DATA_QUERIES  # noqa: E402
+from glean_cetaf_rdfs_spark.queries_data import (  # noqa: E402
+    CONTRACT_FOLDED_OUT,
+    CONTRACT_FOLDS,
+    DATA_QUERIES,
+)
+
+# The driver grades at most 50 queries, in ``queries()`` iteration
+# order (CORRECTNESS_r04: 54 registered → exactly the first 50 graded,
+# silently dropping the flagship q32). The contract is therefore a
+# curated ≤50-entry ordered view: the flagship and the previously
+# ungraded queries lead, four redundant rows are folded into their
+# siblings (CONTRACT_FOLDS / CONTRACT_FOLDED_OUT, queries_data.py) so
+# every implementation path still gets a driver row, and the full
+# unfolded registry stays benchmarked via ``bench_queries()``.
+_CONTRACT_CAP = 50
+_CONTRACT_FIRST = [
+    "q32_kg_pipeline_predicates",  # flagship KG pipeline — graded first
+    "q53_token_packing",           # never driver-graded before r5
+    "q30_multimodal_metadata",
+    "q31_frame_sample_plan",
+    "q51_curation_funnel",         # curation capstone
+]
 
 _KG_SCALE = {"sf0.001": 60, "sf0.01": 400, "sf0.1": 2500}
 
@@ -92,20 +113,37 @@ def entry(spark: SparkSession) -> DataFrame:
             .orderBy(F.col("revenue").desc()))
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+def _full_registry() -> dict[str, tuple[Callable, str | None]]:
+    """Every implemented query, unfolded (54 entries) — the bench set."""
+    full: dict[str, tuple[Callable, str | None]] = {}
     for reg in (RELATIONAL_QUERIES, DATA_QUERIES):
-        for name, (fn, _sql) in reg.items():
-            out[name] = fn
-    out["q32_kg_pipeline_predicates"] = _kg_pipeline_predicates
-    return out
+        full.update(reg)
+    full["q32_kg_pipeline_predicates"] = (_kg_pipeline_predicates, _Q32_SQL)
+    return full
+
+
+def _contract() -> dict[str, tuple[Callable, str | None]]:
+    """The ≤50-entry ordered driver contract (see module comment)."""
+    full = _full_registry()
+    full.update(CONTRACT_FOLDS)
+    for name in CONTRACT_FOLDED_OUT:
+        full.pop(name)
+    ordered = {name: full.pop(name) for name in _CONTRACT_FIRST}
+    ordered.update(full)
+    assert len(ordered) <= _CONTRACT_CAP, len(ordered)
+    return ordered
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in _contract().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for reg in (RELATIONAL_QUERIES, DATA_QUERIES):
-        for name, (_fn, sql) in reg.items():
-            if sql is not None:
-                out[name] = sql
-    out["q32_kg_pipeline_predicates"] = _Q32_SQL
-    return out
+    return {name: sql for name, (_fn, sql) in _contract().items()
+            if sql is not None}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The full unfolded registry — bench.py times the narrow
+    single-path queries even where the contract grades a fold."""
+    return {name: fn for name, (fn, _sql) in _full_registry().items()}

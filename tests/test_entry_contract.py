@@ -29,6 +29,30 @@ def test_rows_only_queries_are_the_documented_ones():
     assert rows_only == set()  # every query carries a DuckDB oracle
 
 
+def test_contract_fits_driver_cap_and_order():
+    """The driver grades only the FIRST 50 queries() entries
+    (CORRECTNESS_r04: 54 registered → exactly 50 graded, flagship q32
+    silently dropped). The contract must stay ≤50 with the flagship
+    first and the previously-ungraded queries ahead of the tail; the
+    folded-out implementations stay benchmarked via bench_queries()."""
+    from glean_cetaf_rdfs_spark.queries_data import CONTRACT_FOLDED_OUT
+
+    qs = E.queries()
+    names = list(qs)
+    assert len(names) <= 50
+    assert names[0] == "q32_kg_pipeline_predicates"
+    head = set(names[:5])
+    assert {"q53_token_packing", "q30_multimodal_metadata",
+            "q31_frame_sample_plan", "q51_curation_funnel"} <= head
+    assert CONTRACT_FOLDED_OUT.isdisjoint(names)
+    bench = E.bench_queries()
+    assert CONTRACT_FOLDED_OUT <= set(bench)
+    # the folds really exercise both paths: folded keys stay present
+    for folded_key in ("q24_lsh_bucket_topk", "q39_ivf_topk",
+                       "q25_token_count"):
+        assert folded_key in names and folded_key in bench
+
+
 def test_q29_frozen_oracle_matches_python_winnow():
     """The frozen VALUES oracle shipped for q29 must equal fingerprint
     counts freshly derived from the pure-Python winnow over the driver's
@@ -76,7 +100,11 @@ def test_q49_frozen_oracle_matches_python_bpe():
 def test_q53_frozen_oracle_matches_python_packing():
     """The frozen VALUES oracle shipped for q53 must equal per-source
     greedy-pack stats freshly derived from the pure-Python packer over
-    pure-Python BPE counts at the driver's correctness sf."""
+    pure-Python BPE counts at the driver's correctness sf, replaying
+    q53's 8-way deterministic md5 shard split (the no-straggler scale
+    shape — packing.py module docstring)."""
+    import hashlib
+
     import duckdb
     import pytest
 
@@ -87,20 +115,30 @@ def test_q53_frozen_oracle_matches_python_packing():
     path = "/root/testdata/sf0.01/documents.parquet"
     if not Path(path).exists():
         pytest.skip("driver testdata not present")
+
+    def shard(did: int, salt: str = "pack", n: int = 8) -> int:
+        # pure-Python replay of operators/sampling.hash_bucket
+        return int(hashlib.md5((salt + str(did)).encode())
+                   .hexdigest()[:8], 16) % n
+
     rows = duckdb.sql(
         f"SELECT source, doc_id, text FROM '{path}' "
         "ORDER BY source, doc_id").fetchall()
-    by_src: dict[str, list[tuple[int, int]]] = {}
+    by_shard: dict[tuple[str, int], list[tuple[int, int]]] = {}
     for src, did, text in rows:
-        by_src.setdefault(src, []).append((did, bpe_count_py(text or "")))
-    got = []
-    for src in sorted(by_src):
-        counts = [c for _, c in by_src[src]]
+        by_shard.setdefault((src, shard(did)), []).append(
+            (did, bpe_count_py(text or "")))
+    agg: dict[str, tuple[int, int, int]] = {}
+    for (src, _sh), docs in by_shard.items():
+        counts = [c for _, c in sorted(docs)]
         packs = pack_greedy_py(counts, 512)
         fill: dict[int, int] = {}
         for p, c in zip(packs, counts):
             fill[p] = fill.get(p, 0) + c
-        got.append((src, len(counts), max(packs) + 1, max(fill.values())))
+        d, pk, mx = agg.get(src, (0, 0, 0))
+        agg[src] = (d + len(counts), pk + max(packs) + 1,
+                    max(mx, max(fill.values())))
+    got = sorted((s, d, p, m) for s, (d, p, m) in agg.items())
     assert got == sorted(_Q53_ORACLE_ROWS)
 
 
