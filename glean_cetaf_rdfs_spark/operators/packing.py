@@ -64,6 +64,15 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
+        if pdf["_n"].isna().any():
+            # a NULL count becomes NaN here, every `total + c > budget`
+            # comparison goes False, and the whole shard would silently
+            # pack into one unbounded pack — fail loudly instead
+            bad = pdf.loc[pdf["_n"].isna(), "id"].head(3).tolist()
+            raise ValueError(
+                f"pack_sequences: NULL token count for ids {bad} in "
+                f"stratum {pdf['stratum'].iat[0]!r}; fill or drop NULL "
+                f"counts before packing")
         packs = pack_greedy_py(pdf["_n"].tolist(), budget)
         stratum, shard = pdf["stratum"].iat[0], int(pdf["_shard"].iat[0])
         pos = []

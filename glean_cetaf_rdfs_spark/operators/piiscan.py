@@ -73,12 +73,56 @@ def contamination_scan(df: DataFrame, id_col: str, text_col: str,
     against eval-set shingles). → (id, n_canary_hits). The canary list
     rides the plan as literals — at real scale (millions of shingles)
     swap to a broadcast join against the eval-shingle table, same
-    contract."""
+    contract — ``contamination_scan_table`` below IS that swap.
+    Empty/whitespace-only canaries are rejected: an empty phrase
+    divides by len 0, which under non-ANSI Spark silently NULLs
+    ``n_canary_hits`` for every row instead of failing."""
+    for c in canaries:
+        if not c.strip():
+            raise ValueError(
+                f"contamination_scan: empty or whitespace-only canary "
+                f"{c!r}")
     text = F.col(text_col)
     total = sum((_literal_hits(text, c) for c in canaries),
                 F.lit(0).cast("long"))
     return df.select(F.col(id_col).alias("id"),
                      total.alias("n_canary_hits"))
+
+
+def contamination_scan_table(df: DataFrame, id_col: str, text_col: str,
+                             eval_shingles: DataFrame,
+                             shingle_col: str = "sh",
+                             k: int = 2) -> DataFrame:
+    """The contamination scan's 100 TB shape: per-doc counts of
+    TOKEN-ALIGNED occurrences of held-out eval-set shingles, via a
+    broadcast join of the corpus k-shingle position table
+    (operators/spandedup.shingle_positions — posexplode + lead windows,
+    no interpreted HOFs) against the eval-shingle table. Use this when
+    the eval set is too large to ride the plan as literals
+    (``contamination_scan``'s contract documents the cutover); an
+    eval-shingle table of millions of rows still broadcasts in tens of
+    MB. → (id, n_canary_hits), zero-count docs included.
+
+    Every phrase in ``eval_shingles`` must be exactly ``k``
+    space-joined tokens (one shingle width per call — union calls for
+    mixed widths). Counts are token-aligned, so they can differ from
+    ``contamination_scan``'s raw-substring counts on punctuation-glued
+    text ("merge batch," does not match token-aligned "merge batch");
+    for whitespace-clean corpora the two agree
+    (test_contamination_table_matches_literal_path)."""
+    from .spandedup import shingle_positions
+
+    wanted = (eval_shingles
+              .select(F.col(shingle_col).alias("sh"))
+              .filter(F.size(F.split(F.col("sh"), " ")) == k)
+              .distinct())
+    pos = shingle_positions(df, id_col, text_col, k)
+    hits = (pos.join(F.broadcast(wanted), "sh")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_canary_hits")))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(hits, "id", "left")
+            .fillna(0, ["n_canary_hits"]))
 
 
 def pii_gate(df: DataFrame, text_col: str,

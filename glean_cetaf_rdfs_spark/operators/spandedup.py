@@ -144,9 +144,19 @@ def remove_repeated_spans(df: DataFrame, id_col: str, text_col: str,
               .join(rm, "id", "left")
               .withColumn("_rm", F.coalesce(
                   "_rm", F.array().cast("array<int>"))))
-    kept = F.filter(
-        F.col("_toks"),
-        lambda w, i: ~F.array_contains(F.col("_rm"), i))
+    # kept indices via array_except (hash-set membership, O(T + R) per
+    # doc) rather than filter(λ i: !array_contains(_rm, i)) — the
+    # per-token linear probe is O(T·R), quadratic on boilerplate-heavy
+    # docs where the removable set approaches the doc length.
+    # array_except keeps array1's order, so token order is preserved;
+    # the sequence guard avoids sequence(0, -1) (which would descend)
+    # on docs with no tokens.
+    kept_idx = F.when(
+        F.size("_toks") > 0,
+        F.array_except(F.sequence(F.lit(0), F.size("_toks") - 1),
+                       F.col("_rm"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.transform(kept_idx, lambda i: F.get(F.col("_toks"), i))
     return joined.select(
         "id",
         F.concat_ws(" ", kept).alias("text_clean"),

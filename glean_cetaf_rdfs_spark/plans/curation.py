@@ -36,11 +36,21 @@ from ..operators.spandedup import remove_repeated_spans
 from ..operators.textops import quality_counts
 
 
+# md5(NULL) is NULL; a NULL fingerprint would fall out of the equi-join
+# below and silently DROP every NULL-text doc (contradicting pii_gate's
+# documented NULL contract). A sentinel no real md5 hex can collide with
+# gives NULL texts their own dedup group — exactly the DuckDB oracle's
+# GROUP BY md5(t) semantics (NULLs group together, apart from '').
+_NULL_FP = "null-text"
+
+
 def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", *,
                   k: int = 5, min_docs: int = 2,
                   pii_max_hits: int = 0, min_tokens: int = 5,
                   max_punct_permille: int = 100,
+                  intermediate: str = "parquet",
+                  temp_dir: str | None = None,
                   ) -> tuple[DataFrame, DataFrame]:
     """→ (curated, funnel).
 
@@ -54,15 +64,36 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     The stages are sequential by design: span commonality (min_docs)
     is computed on the POST-gate, POST-dedup corpus, so a quarantined
     document cannot vote a span into the removable set and a duplicate
-    pair cannot vote its full text in (see module docstring)."""
+    pair cannot vote its full text in (see module docstring).
+
+    ``intermediate="parquet"`` (default): the two expensive stage
+    frames — the PII-gated+fingerprinted corpus and the span-rewritten
+    corpus — are written once to scratch storage (same pattern and
+    rotation as plans/pipeline.build_triples) and every funnel branch
+    plus ``curated`` scans the files. The PII regex scan, the dedup
+    shuffle, and the span rewrite each execute EXACTLY once no matter
+    how many consumers run — the round-4 lazy funnel re-executed the
+    span stage per aggregate (a 4-5× corpus recompute at scale).
+    ``intermediate="none"``: fully lazy, recomputed per consumer (toy
+    inputs / plan-inspection only)."""
+    spark = docs.sparkSession
     src_cols = [F.col(id_col).alias("id"), F.col("source"),
                 F.col(text_col)]
     base = docs.select(*src_cols)
 
     clean0, _quarantined = pii_gate(base, text_col,
                                     max_hits=pii_max_hits)
+    fp = clean0.withColumn(
+        "_fp", F.coalesce(F.md5(text_col), F.lit(_NULL_FP)))
 
-    fp = clean0.withColumn("_fp", F.md5(text_col))
+    stage_base = None
+    if intermediate == "parquet":
+        from .pipeline import _stage_scratch
+
+        stage_base = _stage_scratch(spark, temp_dir, name="curation")
+        fp.write.mode("overwrite").parquet(f"{stage_base}/fp")
+        fp = spark.read.parquet(f"{stage_base}/fp")
+
     unique = (fp.groupBy("_fp").agg(F.min("id").alias("id"))
               .join(fp, ["_fp", "id"])
               .select("id", "source", text_col))
@@ -71,6 +102,9 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                                       k=k, min_docs=min_docs)
     staged = (unique.select("id", "source")
               .join(rewritten, "id"))
+    if stage_base is not None:
+        staged.write.mode("overwrite").parquet(f"{stage_base}/staged")
+        staged = spark.read.parquet(f"{stage_base}/staged")
 
     qc = quality_counts(staged, "id", "text_clean")
     gated = (staged.join(qc, "id")
@@ -80,14 +114,19 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                      & (F.col("n_tokens") >= min_tokens))
              .select("id", "source", "text_clean"))
 
+    # Funnel branches read the materialized stages (parquet mode):
+    # 00 is a raw-input count (no regex), 01/02 are footer-cheap counts
+    # of the stage files (the span rewrite preserves rows, so the
+    # staged count IS the post-dedup count), 03/04 are single filtered
+    # scans of the staged files.
     funnel = (
         base.agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("00_input").alias("stage"), "n")
         .unionByName(
-            clean0.agg(F.count(F.lit(1)).alias("n"))
+            fp.agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit("01_pii_clean").alias("stage"), "n"))
         .unionByName(
-            unique.agg(F.count(F.lit(1)).alias("n"))
+            staged.agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit("02_unique").alias("stage"), "n"))
         .unionByName(
             staged.agg(F.coalesce(F.sum("n_tokens_removed"), F.lit(0))

@@ -39,7 +39,8 @@ _BUILD_SEQ = iter(range(1, 1 << 31))
 _PRIOR_BUILDS: dict[str, list[str]] = {}
 
 
-def _stage_scratch(spark: SparkSession, temp_dir: str | None) -> str:
+def _stage_scratch(spark: SparkSession, temp_dir: str | None,
+                   name: str = "kg_canon") -> str:
     """App-scoped scratch path for the canonicalized stage table, with a
     per-build subdir (process-wide counter): a second build in the same
     session gets a fresh directory instead of overwriting the one an
@@ -55,12 +56,12 @@ def _stage_scratch(spark: SparkSession, temp_dir: str | None) -> str:
     assumed consumed. Everything is removed at interpreter exit."""
     seq = next(_BUILD_SEQ)
     if temp_dir is not None:
-        base = f"{temp_dir}/kg_canon_{spark.sparkContext.applicationId}"
+        base = f"{temp_dir}/{name}_{spark.sparkContext.applicationId}"
         atexit.register(shutil.rmtree, base, ignore_errors=True)
     else:
         from ..session import app_scratch_path
 
-        base = app_scratch_path(spark, "kg_canon")
+        base = app_scratch_path(spark, name)
     prior = _PRIOR_BUILDS.setdefault(base, [])
     for old in prior[:-1]:  # keep only the most recent prior build
         shutil.rmtree(old, ignore_errors=True)

@@ -90,7 +90,22 @@ def run_incremental(spark: SparkSession, input_dir: str, out_path: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    except Exception as e:  # noqa: BLE001 — re-raise with the real cause
+        # the common upgrade trap surfaces as an opaque state-schema /
+        # operator-layout streaming error: a checkpoint written before
+        # the dedup gate existed (or with it off) cannot resume with the
+        # default dedup_watermark='7 days' (see docstring)
+        msg = str(e)
+        if any(s in msg for s in ("state", "StateSchema", "operator")):
+            raise RuntimeError(
+                "streaming resume failed — if this checkpoint predates "
+                "the cross-batch dedup gate, re-run with "
+                "dedup_watermark=None (keep the setting stable per "
+                "checkpoint_dir) or start a fresh checkpoint_dir. "
+                f"Underlying error: {msg[:500]}") from e
+        raise
 
 
 def streaming_turn_rate(spark: SparkSession, input_dir: str,

@@ -132,3 +132,71 @@ def test_run_curation_writes_partitions_and_lineage(spark, tmp_path):
     assert lin["exact_dedup"]["rows_dropped"] == 1   # doc 2
     assert lin["pii_gate"]["rows_out"] == lin["exact_dedup"]["rows_in"]
     assert lin["exact_dedup"]["rows_out"] == lin["quality_gate"]["rows_in"]
+
+
+def test_curate_corpus_null_and_empty_text(spark):
+    """NULL-text docs must NOT silently vanish at the dedup stage
+    (md5(NULL) is NULL and a NULL key never equi-joins — round-4
+    advice): NULLs dedup among THEMSELVES, separately from ''-text
+    docs (the DuckDB GROUP BY md5(t) semantics), then fall out at the
+    quality gate like the oracle's NULL-predicate filter does."""
+    from glean_cetaf_rdfs_spark.plans.curation import curate_corpus
+
+    rows = [(1, "s0", None), (2, "s0", None), (3, "s0", ""),
+            (4, "s1", "plain unique survivor document with enough words")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    _curated, funnel = curate_corpus(df, "doc_id", "text", min_tokens=5)
+    f = {r["stage"]: r["n"] for r in funnel.collect()}
+    assert f["00_input"] == 4
+    assert f["01_pii_clean"] == 4
+    # NULL group -> one rep (id 1), '' its own group, doc 4 unique
+    assert f["02_unique"] == 3
+    assert f["04_quality_pass"] == 1
+
+
+def test_curate_corpus_single_pass_plan(spark):
+    """With the default parquet intermediate, the expensive stages run
+    ONCE at build time and every funnel branch is a file scan: the
+    funnel's physical plan contains no Window (span rewrite) and no
+    regexp PII scan — those executed during curate_corpus itself."""
+    from glean_cetaf_rdfs_spark.plans.curation import curate_corpus
+
+    rows = [(i, f"s{i % 2}", f"document number {i} with several words inside")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    _curated, funnel = curate_corpus(df, "doc_id", "text")
+    plan = funnel._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan           # span rewrite not re-executed
+    assert "regexp_extract_all" not in plan  # PII scan not re-executed
+    lazy_curated, lazy_funnel = curate_corpus(df, "doc_id", "text",
+                                              intermediate="none")
+    lazy_plan = lazy_funnel._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in lazy_plan          # lazy mode really is lazy
+    # both modes agree on every number
+    assert ({(r["stage"], r["n"]) for r in funnel.collect()}
+            == {(r["stage"], r["n"]) for r in lazy_funnel.collect()})
+
+
+def test_contamination_table_matches_literal_path(spark):
+    """On whitespace-clean text the broadcast eval-shingle table path
+    (the 100 TB shape) agrees with the literal-canary path exactly, the
+    join side is broadcast, and zero-hit docs survive with 0. The
+    empty-canary guard fails fast instead of silently NULLing counts."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "merge batch then merge batch again soon"),
+         (2, "query value appears just once here today"),
+         (3, "nothing held out in this one at all")],
+        "doc_id long, text string")
+    canaries = ["merge batch", "query value"]
+    lit = {r["id"]: r["n_canary_hits"] for r in
+           P.contamination_scan(docs, "doc_id", "text", canaries).collect()}
+    ev = spark.createDataFrame([(c,) for c in canaries], "sh string")
+    tbl_df = P.contamination_scan_table(docs, "doc_id", "text", ev, k=2)
+    tbl = {r["id"]: r["n_canary_hits"] for r in tbl_df.collect()}
+    assert tbl == lit == {1: 2, 2: 1, 3: 0}
+    plan = tbl_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="empty"):
+        P.contamination_scan(docs, "doc_id", "text", ["ok phrase", "  "])
