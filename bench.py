@@ -61,6 +61,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from glean_cetaf_rdfs_spark.session import get_spark
 
+    # the round-4 driver artifact showed EVERY wall (headline q32 and
+    # the scaling high leg) uniformly inflated by a sustained noisy
+    # neighbor; waiting for a calm host before timing anything is
+    # cheaper than any amount of re-measuring under load
+    from tools.bench_scaling import wait_for_calm
+    busy0 = wait_for_calm(max_wait_s=300.0)
+
     # heap pinned (-Xms) to avoid G1 resize churn. NO AlwaysPreTouch here:
     # with 16 GB pre-touched, every Python-worker fork at local[32] copies
     # the full page-table set — measured 24.8 s (vs 1.3 s) on the first
@@ -126,6 +133,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(CPUS),
+        "host_busy_at_start": busy0,
     }
     # per-query row counts ride an EARLIER line: the driver's tail
     # buffer is 2,000 chars and parses only the FINAL line — the r4

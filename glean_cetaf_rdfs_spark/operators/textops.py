@@ -37,6 +37,38 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def corpus_stats(df: DataFrame, id_col: str, text_col: str,
+                 exact: bool = True,
+                 approx_accuracy: int = 10000) -> DataFrame:
+    """Per predicted language: doc count, mean token count, p50/p90
+    token counts — the corpus profile curation decisions read.
+
+    ``exact=True`` uses ``F.percentile`` (exact interpolation — DuckDB
+    ``quantile_cont`` matches bit-for-bit, so q43 carries a full
+    oracle). ``exact=False`` is the 100 TB path: ``approx_percentile``
+    (Greenwald-Khanna sketch; mergeable partials, bounded memory per
+    group) — exact percentiles materialize every group's values at one
+    reducer, which is the straggler/OOM shape on a trillion-row corpus.
+    One scan + one shuffle either way."""
+    toks = token_count(df, id_col, text_col).select("id", "n_tokens")
+    lang = lang_id(df, id_col, text_col)
+    if exact:
+        p50 = F.percentile("n_tokens", F.lit(0.5))
+        p90 = F.percentile("n_tokens", F.lit(0.9))
+    else:
+        p50 = F.approx_percentile("n_tokens", F.lit(0.5),
+                                  F.lit(approx_accuracy))
+        p90 = F.approx_percentile("n_tokens", F.lit(0.9),
+                                  F.lit(approx_accuracy))
+    return (toks.join(lang, "id")
+            .groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+                 F.round(p50.cast("double"), 4).alias("p50_tokens"),
+                 F.round(p90.cast("double"), 4).alias("p90_tokens"))
+            .orderBy("lang_pred"))
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features and a
     composite score — the standard cheap pre-training quality gate."""

@@ -783,21 +783,15 @@ def q29_winnow_fingerprint(spark, sf_dir):
 
 
 def q43_corpus_stats(spark, sf_dir):
-    """Corpus profiling for curation decisions: per predicted language,
-    doc count, mean token count, and EXACT interpolated p50/p90 token
-    counts (``F.percentile`` — exact, so DuckDB's quantile_cont matches
-    bit-for-bit at these scales; at 100 TB swap in approx_percentile and
-    drop the oracle). One scan + one shuffle (the groupBy)."""
-    docs = _docs(spark, sf_dir)
-    toks = T.token_count(docs, "doc_id", "text").select("id", "n_tokens")
-    lang = T.lang_id(docs, "doc_id", "text")
-    return (toks.join(lang, "id")
-            .groupBy("lang_pred")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-                 F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
-                 F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90_tokens"))
-            .orderBy("lang_pred"))
+    """Corpus profiling for curation decisions (textops.corpus_stats,
+    exact mode): per predicted language, doc count, mean token count,
+    and EXACT interpolated p50/p90 token counts (``F.percentile`` —
+    DuckDB's quantile_cont matches bit-for-bit). The operator's
+    ``exact=False`` switch is the 100 TB path (approx_percentile
+    sketch, mergeable partials — asserted within tolerance of exact in
+    test_textops). One scan + one shuffle (the groupBy)."""
+    return T.corpus_stats(_docs(spark, sf_dir), "doc_id", "text",
+                          exact=True)
 
 
 SQL_Q43 = """

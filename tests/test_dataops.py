@@ -429,3 +429,24 @@ def test_repeated_span_stats_short_docs_no_rows(spark):
            SP.repeated_span_stats(df, "doc_id", "text",
                                   k=5, min_docs=2).collect()}
     assert all(got[i]["n_common_pos"] == 0 for i in (1, 2, 3))
+
+
+def test_corpus_stats_approx_tracks_exact(spark, docs):
+    """The 100 TB path (approx_percentile sketch, mergeable partials)
+    agrees with the exact-percentile mode on counts/means exactly and
+    on p50/p90 within the sketch tolerance — the evidence behind q43's
+    'swap exact for approx at scale' contract."""
+    exact = {r["lang_pred"]: r for r in
+             T.corpus_stats(docs, "doc_id", "text", exact=True).collect()}
+    approx = {r["lang_pred"]: r for r in
+              T.corpus_stats(docs, "doc_id", "text", exact=False).collect()}
+    assert set(exact) == set(approx)
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a["n_docs"] == e["n_docs"]
+        assert a["avg_tokens"] == e["avg_tokens"]
+        for col in ("p50_tokens", "p90_tokens"):
+            # the GK sketch returns an ACTUAL element while exact mode
+            # interpolates between neighbors, so allow one neighbor gap
+            # (~3 tokens on this distribution) or 5% relative
+            assert abs(a[col] - e[col]) <= max(3.0, 0.05 * e[col]), (lang, col)
