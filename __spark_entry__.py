@@ -1,11 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship multi-join aggregation on sf0.001.
-``queries()`` — one entry per implemented operator family (SURVEY.md §2)
-plus the KG pipeline and training-data operators; each callable takes
-(spark, sf_dir) and returns a DataFrame.
-``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
-genuinely non-SQL-expressible ops, which get rows-only checks).
+``queries()`` — the curated 50-entry ORDERED contract: one row per
+implemented operator family (SURVEY.md §2) plus the KG pipeline and
+training-data operators; each callable takes (spark, sf_dir) and
+returns a DataFrame. The driver grades only the first 50 entries, so
+ordering and the fold set below are part of the contract.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (every contract row
+carries one).
+``bench_queries()`` — the full unfolded registry for bench.py.
 """
 
 from __future__ import annotations

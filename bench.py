@@ -141,6 +141,8 @@ def main() -> None:
     # "parsed": null). Everything bulky prints first; the final line
     # stays compact.
     print(json.dumps({"detail": "rows_per_query", "rows": rows}))
+    print(json.dumps({"detail": "headline_timings", "queries": timings,
+                      "total": total}), flush=True)
     if kg_triples is not None:
         result["kg_triples"] = kg_triples
         result["kg_triples_per_sec"] = round(kg_triples / timings["kg_pipeline_count"], 1)
