@@ -450,3 +450,67 @@ def test_corpus_stats_approx_tracks_exact(spark, docs):
             # interpolates between neighbors, so allow one neighbor gap
             # (~3 tokens on this distribution) or 5% relative
             assert abs(a[col] - e[col]) <= max(3.0, 0.05 * e[col]), (lang, col)
+
+
+def test_embedding_dup_clusters_planted(spark):
+    """Cluster-level embedding dedup: overlapping near-dup pairs
+    (a~b, b~c) collapse to ONE cluster with ONE survivor (min id) —
+    the over-deletion case pair-level dedup gets wrong — and
+    singletons survive as their own canonical."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base_a = rng.normal(size=16)
+    base_b = rng.normal(size=16)
+    rows = []
+    for i, (base, eps) in enumerate([(base_a, 0.0), (base_a, 1e-3),
+                                     (base_a, 2e-3), (base_b, 0.0),
+                                     (base_b, 1e-3)]):
+        v = base + eps * rng.normal(size=16)
+        rows.append((i + 1, [float(x) for x in v]))
+    rows.append((9, [float(x) for x in rng.normal(size=16)]))   # singleton
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r for r in
+           D.embedding_dup_clusters(df, "vec_id", "embedding", 0.99,
+                                    n_planes=4, n_bands=8).collect()}
+    assert len(out) == 6                       # every input row covered
+    assert {i: out[i]["canonical"] for i in (1, 2, 3)} == {1: 1, 2: 1, 3: 1}
+    assert {i: out[i]["canonical"] for i in (4, 5)} == {4: 4, 5: 4}
+    assert out[9]["canonical"] == 9 and out[9]["is_survivor"]
+    assert [i for i in out if out[i]["is_survivor"]] == [1, 4, 9]
+
+
+def test_quantized_table_topk_tracks_float_and_prunes(spark, embs, tmp_path):
+    """int8 bucket table vs the FLOAT bucket table over the IDENTICAL
+    probe set (bucket assignment is computed on the float vector at
+    write, so the candidate pools match exactly): (a) quantization may
+    swap near-ties but must never surface a genuinely worse vector —
+    every int8 pick scores within 0.005 float-cosine of the float
+    probe's 10th-best, and per-id cos agrees within 0.005, (b) a
+    1-bucket probe is partition-pruned, (c) stored vectors really are
+    tinyint (quarter width)."""
+    q = [r for r in embs.select("embedding")
+         .filter(F.col("vec_id") == 0).collect()][0][0]
+    fpath, qpath = str(tmp_path / "ftable"), str(tmp_path / "qtable")
+    S.write_bucketed_embeddings(embs, "vec_id", "embedding", fpath,
+                                n_planes=4)
+    S.write_quantized_embeddings(embs, "vec_id", "embedding", qpath,
+                                 n_planes=4)
+    fl = {r["id"]: r["cos"] for r in
+          S.bucketed_table_topk(spark, fpath, q, k=30, n_planes=4,
+                                n_probe=5).collect()}
+    qt = [(r["id"], r["cos"]) for r in
+          S.quantized_table_topk(spark, qpath, q, k=10, n_planes=4,
+                                 n_probe=5).collect()]
+    kth = sorted(fl.values(), reverse=True)[9]
+    assert qt[0][0] == 0                       # top-1 immune to rounding
+    for vid, qcos in qt:
+        assert vid in fl and fl[vid] >= kth - 0.005, vid
+        assert abs(qcos - fl[vid]) <= 0.005, (vid, qcos, fl[vid])
+    pruned_df = S.quantized_table_topk(spark, qpath, q, k=10, n_planes=4,
+                                       n_probe=1)
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+    qv_field = [f for f in spark.read.parquet(qpath).schema.fields
+                if f.name == "qv"][0]
+    assert "tinyint" in qv_field.dataType.simpleString()
