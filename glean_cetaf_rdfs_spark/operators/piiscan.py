@@ -141,3 +141,33 @@ def pii_gate(df: DataFrame, text_col: str,
     total = sum((_span_count(text_col, rx) for rx in pats.values()),
                 F.lit(0))
     return (df.filter(total <= max_hits), df.filter(total > max_hits))
+
+
+def contamination_scan_table_multi(df: DataFrame, id_col: str,
+                                   text_col: str,
+                                   eval_shingles: DataFrame,
+                                   shingle_col: str = "sh") -> DataFrame:
+    """Mixed-width eval sets: real eval suites shingle to several widths
+    at once. Groups the eval table by token count (the widths are a
+    dictionary-scale driver-side fact — the table itself still
+    broadcasts), runs one :func:`contamination_scan_table` scan per
+    width, and sums per doc. → (id, n_canary_hits), zero-count docs
+    included; empty eval table → all zeros."""
+    widths = [r["k"] for r in
+              (eval_shingles
+               .select(F.size(F.split(F.col(shingle_col), " ")).alias("k"))
+               .distinct().collect())
+              if r["k"] and r["k"] > 0]
+    ids = df.select(F.col(id_col).alias("id"))
+    if not widths:
+        return ids.withColumn("n_canary_hits", F.lit(0).cast("long"))
+    per_width = [
+        contamination_scan_table(df, id_col, text_col, eval_shingles,
+                                 shingle_col=shingle_col, k=k)
+        for k in sorted(widths)
+    ]
+    unioned = per_width[0]
+    for nxt in per_width[1:]:
+        unioned = unioned.unionByName(nxt)
+    return (unioned.groupBy("id")
+            .agg(F.sum("n_canary_hits").alias("n_canary_hits")))

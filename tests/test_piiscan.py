@@ -200,3 +200,24 @@ def test_contamination_table_matches_literal_path(spark):
     assert "BroadcastHashJoin" in plan
     with pytest.raises(ValueError, match="empty"):
         P.contamination_scan(docs, "doc_id", "text", ["ok phrase", "  "])
+
+
+def test_contamination_table_multi_width(spark):
+    """Mixed-width eval table: per-width scans sum per doc; docs with
+    zero hits stay present; empty eval table yields all zeros."""
+    docs = spark.createDataFrame(
+        [(1, "merge batch then run the full query value sweep now"),
+         (2, "query value appears here and merge batch too"),
+         (3, "nothing held out")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [("merge batch",), ("query value sweep",)], "sh string")
+    got = {r["id"]: r["n_canary_hits"] for r in
+           P.contamination_scan_table_multi(docs, "doc_id", "text",
+                                            ev).collect()}
+    assert got == {1: 2, 2: 1, 3: 0}   # doc1: both widths; doc2: 2-gram only
+    empty = spark.createDataFrame([], "sh string")
+    z = {r["id"]: r["n_canary_hits"] for r in
+         P.contamination_scan_table_multi(docs, "doc_id", "text",
+                                          empty).collect()}
+    assert z == {1: 0, 2: 0, 3: 0}
