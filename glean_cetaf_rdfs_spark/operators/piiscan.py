@@ -143,6 +143,53 @@ def pii_gate(df: DataFrame, text_col: str,
     return (df.filter(total <= max_hits), df.filter(total > max_hits))
 
 
+def contamination_gate(df: DataFrame, id_col: str, text_col: str,
+                       canaries: list[str] | None = None,
+                       eval_shingles: DataFrame | None = None,
+                       max_hits: int = 0) -> tuple[DataFrame, DataFrame]:
+    """Split (clean, contaminated) on benchmark-contamination hits >
+    ``max_hits`` — the gate completing the scan→gate symmetry the PII
+    family already has (:func:`pii_scan` / :func:`pii_gate`). Same
+    contract as every gate in the engine: both sides keep the input
+    schema, clean ∪ contaminated = input exactly, NULL text counts 0
+    hits → clean.
+
+    Exactly one source of held-out phrases:
+
+    - ``canaries`` (small eval sets): the literal-occurrence expression
+      (:func:`contamination_scan`'s integer length math) is inlined
+      into BOTH predicates, so each side stays a single
+      pushdown-friendly filtered scan — no join, no shuffle.
+    - ``eval_shingles`` (real eval suites, mixed widths): hits come
+      from :func:`contamination_scan_table_multi`'s broadcast
+      shingle-table join, flagged back onto the input by an (id)-keyed
+      join. One shingle scan feeds both sides; at 100 TB this is the
+      only shape — the literal path's plan grows with the eval set."""
+    if (canaries is None) == (eval_shingles is None):
+        raise ValueError("contamination_gate: pass exactly one of "
+                         "canaries or eval_shingles")
+    if canaries is not None:
+        for c in canaries:
+            if not c.strip():
+                raise ValueError(
+                    f"contamination_gate: empty or whitespace-only "
+                    f"canary {c!r}")
+        text = F.col(text_col)
+        total = sum((_literal_hits(text, c) for c in canaries),
+                    F.lit(0).cast("long"))
+        return (df.filter(total <= max_hits), df.filter(total > max_hits))
+    hits = contamination_scan_table_multi(df, id_col, text_col,
+                                          eval_shingles)
+    flagged = hits.select(F.col("id").alias(id_col),
+                          (F.col("n_canary_hits") > max_hits)
+                          .alias("_contam"))
+    joined = df.join(flagged, id_col, "left")
+    keep = df.columns
+    bad = F.coalesce(F.col("_contam"), F.lit(False))
+    return (joined.filter(~bad).select(*keep),
+            joined.filter(bad).select(*keep))
+
+
 def contamination_scan_table_multi(df: DataFrame, id_col: str,
                                    text_col: str,
                                    eval_shingles: DataFrame,

@@ -221,3 +221,51 @@ def test_contamination_table_multi_width(spark):
          P.contamination_scan_table_multi(docs, "doc_id", "text",
                                           empty).collect()}
     assert z == {1: 0, 2: 0, 3: 0}
+
+
+def test_contamination_gate_literal_path(spark):
+    """Literal-canary gate: inline predicate, both sides keep schema,
+    NULL text is clean, threshold is a knob."""
+    df = spark.createDataFrame(
+        [(1, "the eval canary phrase appears twice: eval canary phrase"),
+         (2, "no overlap with anything held out"),
+         (3, None)],
+        "doc_id long, text string")
+    clean, bad = P.contamination_gate(df, "doc_id", "text",
+                                      canaries=["eval canary phrase"])
+    assert clean.columns == df.columns == bad.columns
+    assert {r["doc_id"] for r in bad.collect()} == {1}
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+    # tolerate a single hit: the twice-hit doc still fails at max_hits=1
+    clean1, bad1 = P.contamination_gate(df, "doc_id", "text",
+                                        canaries=["eval canary phrase"],
+                                        max_hits=1)
+    assert {r["doc_id"] for r in bad1.collect()} == {1}
+    clean2, bad2 = P.contamination_gate(df, "doc_id", "text",
+                                        canaries=["eval canary phrase"],
+                                        max_hits=2)
+    assert bad2.count() == 0 and clean2.count() == 3
+
+
+def test_contamination_gate_table_path_and_arg_contract(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "nothing shared here at all"),
+         (3, None)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([("alpha beta",), ("gamma delta epsilon",)],
+                               "sh string")
+    clean, bad = P.contamination_gate(df, "doc_id", "text",
+                                      eval_shingles=ev)
+    assert {r["doc_id"] for r in bad.collect()} == {1}
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+    assert clean.columns == df.columns == bad.columns
+    with pytest.raises(ValueError, match="exactly one"):
+        P.contamination_gate(df, "doc_id", "text")
+    with pytest.raises(ValueError, match="exactly one"):
+        P.contamination_gate(df, "doc_id", "text",
+                             canaries=["x y"], eval_shingles=ev)
+    with pytest.raises(ValueError, match="empty or whitespace-only"):
+        P.contamination_gate(df, "doc_id", "text", canaries=["  "])
