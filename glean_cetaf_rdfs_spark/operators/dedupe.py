@@ -128,6 +128,29 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return sh.groupBy("id").agg(*aggs)
 
 
+def band_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                    k: int = 8, bands: int = 4) -> DataFrame:
+    """MinHash banded LSH signatures: → (id, band, band_sig), one row
+    per (doc, band); docs sharing any (band, band_sig) are LSH
+    candidates. Banding is a NARROW reshape of the wide signature
+    (band_sig built by column concat; no groupBy) — zero extra shuffles
+    after the one signature aggregation. Shared by the batch pair
+    finder (:func:`minhash_lsh_pairs`) and the incremental cross-batch
+    gate (streaming/neardedup.py), which persists exactly these rows as
+    its band store."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    band_structs = []
+    for b in range(bands):
+        cols = [F.concat_ws(":", F.lit(str(i)), F.col(f"h{i}"))
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(F.struct(F.lit(b).alias("band"),
+                                     F.concat_ws(",", *cols).alias("band_sig")))
+    return (sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+            .select("id", F.col("bb.band").alias("band"),
+                    F.col("bb.band_sig").alias("band_sig")))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                       k: int = 8, bands: int = 4,
                       verify_threshold: float = 0.5,
@@ -139,20 +162,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     (computed only on the candidate set — the vectorized-scoring step).
     → (id_a, id_b, jaccard).
     """
-    rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
-    # banding is a NARROW reshape of the wide signature (band_sig built
-    # by column concat; no groupBy) — zero extra shuffles before the
-    # bucket self-join
-    band_structs = []
-    for b in range(bands):
-        cols = [F.concat_ws(":", F.lit(str(i)), F.col(f"h{i}"))
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_structs.append(F.struct(F.lit(b).alias("band"),
-                                     F.concat_ws(",", *cols).alias("band_sig")))
-    banded = (sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
-              .select("id", F.col("bb.band").alias("band"),
-                      F.col("bb.band_sig").alias("band_sig")))
+    banded = band_signatures(df, id_col, text_col, n, k, bands)
     ca = banded.select(F.col("id").alias("id_a"), "band", "band_sig")
     cb = banded.select(F.col("id").alias("id_b"), "band", "band_sig")
     # banded stream and shingle stream scale with the corpus — never

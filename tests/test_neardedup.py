@@ -1,0 +1,89 @@
+"""Incremental cross-batch NEAR-dup gate tests: band-store admission,
+within-batch connected-component survivor rule, idempotent epoch
+replay, and the foreachBatch writer end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glean_cetaf_rdfs_spark.streaming import neardedup as ND
+
+BASE = ("the quick brown fox jumps over the lazy dog while the spark "
+        "engine shuffles partitions across the cluster nodes every night")
+OTHER = ("completely unrelated content about database query optimization "
+         "and columnar storage formats with vectorized execution kernels")
+THIRD = ("yet another standalone document discussing streaming watermarks "
+         "and stateful operators inside structured streaming pipelines")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_batch_near_dup_dropped(spark, tmp_path):
+    store = str(tmp_path / "bands")
+    b1 = _df(spark, [(1, BASE), (2, OTHER)])
+    kept1 = ND.incremental_near_dedup(spark, b1, "doc_id", "text", store, 0)
+    assert {r["doc_id"] for r in kept1.collect()} == {1, 2}
+    # batch 2: a near-dup of doc 1 (one word appended) and a unique doc
+    b2 = _df(spark, [(10, BASE + " tonight"), (11, THIRD)])
+    kept2 = ND.incremental_near_dedup(spark, b2, "doc_id", "text", store, 1)
+    assert {r["doc_id"] for r in kept2.collect()} == {11}
+    # the store holds both epochs' survivor bands
+    st = spark.read.parquet(store)
+    assert {r["epoch"] for r in st.select("epoch").distinct().collect()} == {0, 1}
+
+
+def test_within_batch_cluster_keeps_min_id(spark, tmp_path):
+    store = str(tmp_path / "bands")
+    batch = _df(spark, [(5, BASE), (3, BASE + " tonight"),
+                        (9, BASE + " again"), (7, OTHER)])
+    kept = ND.incremental_near_dedup(spark, batch, "doc_id", "text", store, 0)
+    got = {r["doc_id"] for r in kept.collect()}
+    # 3/5/9 band-collide into one component → min id 3 survives
+    assert got == {3, 7}
+    # exact-replay semantics: pushing the SAME batch again as a new
+    # epoch admits nothing (every doc collides with epoch-0 bands)
+    kept_again = ND.incremental_near_dedup(spark, batch, "doc_id", "text",
+                                           store, 1)
+    assert kept_again.count() == 0
+
+
+def test_epoch_replay_idempotent(spark, tmp_path):
+    store = str(tmp_path / "bands")
+    ND.incremental_near_dedup(
+        spark, _df(spark, [(1, BASE)]), "doc_id", "text", store, 0)
+    b2 = _df(spark, [(10, OTHER), (11, OTHER + " extra")])
+    kept_a = ND.incremental_near_dedup(spark, b2, "doc_id", "text", store, 1)
+    n_store_a = spark.read.parquet(store).count()
+    # replay of epoch 1 (crash-recovery path): same survivors, store
+    # rows for the epoch overwritten not appended
+    kept_b = ND.incremental_near_dedup(spark, b2, "doc_id", "text", store, 1)
+    assert ({r["doc_id"] for r in kept_a.collect()}
+            == {r["doc_id"] for r in kept_b.collect()} == {10})
+    assert spark.read.parquet(store).count() == n_store_a
+
+
+def test_foreachbatch_writer_end_to_end(spark, tmp_path):
+    """Two files forced into two micro-batches (maxFilesPerTrigger=1):
+    the second file's near-dup is dropped across batches, output lands
+    partitioned by _epoch."""
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    store, ckpt = str(tmp_path / "bands"), str(tmp_path / "ckpt")
+    _df(spark, [(1, BASE), (2, OTHER)]).coalesce(1).write.parquet(inp)
+    _df(spark, [(10, BASE + " tonight"), (11, THIRD)]) \
+        .coalesce(1).write.mode("append").parquet(inp)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    q = (stream.writeStream
+         .foreachBatch(ND.near_dedup_batch_writer(spark, "doc_id", "text",
+                                                  out, store))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in got.collect()}
+    # both batch-1 docs admitted; batch 2 admits only the unique doc
+    # (file→batch order is ingestion order with maxFilesPerTrigger=1)
+    assert ids == {1, 2, 11}
+    assert got.select("_epoch").distinct().count() == 2
