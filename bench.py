@@ -54,6 +54,7 @@ HEADLINE = [
     "q51_curation_funnel",
     "q52_stratified_sample",
     "q53_token_packing",
+    "q55_repetition_signals",
 ]
 
 

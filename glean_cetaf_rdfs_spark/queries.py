@@ -367,6 +367,35 @@ ORDER BY custkey
 """
 
 
+def q33_set_ops_fused(spark, sf_dir):
+    """EXCEPT and INTERSECT (U2 + U4) as one contract row: both set ops
+    over the same two order-status keysets, legs tagged by ``set_op`` —
+    the q24/q39-style fold that freed a driver slot for
+    q55_repetition_signals."""
+    orders = _t(spark, sf_dir, "orders")
+    a = (orders.filter(F.col("o_orderstatus") == "O")
+         .select(F.col("o_custkey").alias("custkey")))
+    b = (orders.filter(F.col("o_orderstatus") == "F")
+         .select(F.col("o_custkey").alias("custkey")))
+    ex = a.subtract(b).select(F.lit("except").alias("set_op"), "custkey")
+    it = a.intersect(b).select(F.lit("intersect").alias("set_op"), "custkey")
+    return ex.unionByName(it).orderBy("set_op", "custkey")
+
+
+SQL_Q33_FUSED = """
+SELECT 'except' AS set_op, custkey FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'intersect' AS set_op, custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+ORDER BY set_op, custkey
+"""
+
+
 def q38_salted_count(spark, sf_dir):
     """Skew-safe two-phase aggregation (north rule 'skew from hot
     entities … salted repartitioning'; the reference load-spreads with

@@ -1366,6 +1366,71 @@ def q25_token_count_fused(spark, sf_dir):
             .orderBy("id"))
 
 
+def q55_repetition_signals(spark, sf_dir):
+    """Gopher-rule repetition profile per document: duplicate-line
+    fractions plus top-2-gram / duplicated-5-gram character fractions
+    (operators/repetition.py — one explode + two partial-aggregating
+    groupBys per signal family, all JVM built-ins). The per-doc signals
+    the repetition_gate thresholds; fractions are ratios of exact
+    integer counts rounded once at the end (the q44 convention)."""
+    from .operators.repetition import repetition_signals
+
+    return (repetition_signals(_docs(spark, sf_dir), "doc_id", "text")
+            .orderBy("id"))
+
+
+SQL_Q55 = """
+WITH d AS (SELECT doc_id AS id, coalesce(text, '') AS text FROM documents),
+base AS (SELECT id, CAST(length(text) AS BIGINT) AS n_chars FROM d),
+lr AS (SELECT id, trim(l) AS line
+       FROM (SELECT id, unnest(string_split_regex(text, chr(10))) AS l FROM d)
+       WHERE trim(l) <> ''),
+pl AS (SELECT id, line, count(*) AS cnt, CAST(length(line) AS BIGINT) AS chars
+       FROM lr GROUP BY id, line),
+ld AS (SELECT id, sum(cnt) AS n_lines,
+              sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_lines,
+              sum(cnt * chars) AS n_line_chars,
+              sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END)
+                  AS n_dup_line_chars
+       FROM pl GROUP BY id),
+t AS (SELECT id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM d),
+p2 AS (SELECT id, array_to_string(list_slice(toks, i + 1, i + 2), ' ') AS sh
+       FROM (SELECT id, toks,
+                    unnest(range(0, greatest(len(toks) - 1, 0))) AS i FROM t)),
+c2 AS (SELECT id, sh, count(*) AS cnt, CAST(length(sh) AS BIGINT) AS chars
+       FROM p2 GROUP BY id, sh),
+top2 AS (SELECT id, CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END
+                AS top_ngram_chars
+         FROM (SELECT id, cnt, chars,
+                      row_number() OVER (PARTITION BY id
+                          ORDER BY cnt DESC, chars DESC, sh DESC) AS rn
+               FROM c2)
+         WHERE rn = 1),
+p5 AS (SELECT id, array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS sh
+       FROM (SELECT id, toks,
+                    unnest(range(0, greatest(len(toks) - 4, 0))) AS i FROM t)),
+c5 AS (SELECT id, sh, count(*) AS cnt, CAST(length(sh) AS BIGINT) AS chars
+       FROM p5 GROUP BY id, sh),
+d5 AS (SELECT id, sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END)
+              AS dup_ngram_chars
+       FROM c5 GROUP BY id)
+SELECT base.id, base.n_chars, coalesce(ld.n_lines, 0) AS n_lines,
+       round(coalesce(ld.n_dup_lines, 0)
+             / greatest(coalesce(ld.n_lines, 0), 1), 4) AS dup_line_frac,
+       round(coalesce(ld.n_dup_line_chars, 0)
+             / greatest(coalesce(ld.n_line_chars, 0), 1), 4)
+           AS dup_line_char_frac,
+       round(coalesce(top2.top_ngram_chars, 0)
+             / greatest(base.n_chars, 1), 4) AS top_ngram_char_frac,
+       round(coalesce(d5.dup_ngram_chars, 0)
+             / greatest(base.n_chars, 1), 4) AS dup_ngram_char_frac
+FROM base LEFT JOIN ld USING (id) LEFT JOIN top2 USING (id)
+          LEFT JOIN d5 USING (id)
+ORDER BY base.id
+"""
+
+
 def _fused_sql(body: str, tags: tuple[str, str]) -> str:
     legs = " UNION ALL ".join(
         f"SELECT '{t}' AS probe_path, * FROM ({body})" for t in tags)
@@ -1387,12 +1452,18 @@ FROM documents ORDER BY id
 # but leave the 50-slot driver contract. q21 is folded out because it
 # is vacuous at the correctness sf (0 rows at sf0.01 — its family is
 # driver-verified by the discriminative planted variant q54).
+def _set_ops_fold():
+    from .queries import SQL_Q33_FUSED, q33_set_ops_fused
+    return (q33_set_ops_fused, SQL_Q33_FUSED)
+
+
 CONTRACT_FOLDS: dict[str, tuple[Callable, str | None]] = {
     "q24_lsh_bucket_topk": (q24_lsh_bucket_topk_fused,
                             _fused_sql(sql_q24(64), ("cached", "online"))),
     "q39_ivf_topk": (q39_ivf_topk_fused,
                      _fused_sql(SQL_Q39, ("table", "trained"))),
     "q25_token_count": (q25_token_count_fused, SQL_Q25_FUSED),
+    "q33_except": _set_ops_fold(),
 }
 
 CONTRACT_FOLDED_OUT = {
@@ -1400,6 +1471,7 @@ CONTRACT_FOLDED_OUT = {
     "q42_ivf_table_topk",       # verified inside the q39 fold (table leg)
     "q28_fingerprint",          # verified inside the q25 fold (fp column)
     "q21_embedding_dup_pairs",  # 0 rows at sf0.01; q54 is the family's row
+    "q34_intersect",            # verified inside the q33 fold (tagged leg)
 }
 
 
@@ -1438,4 +1510,5 @@ DATA_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q53_token_packing": (q53_token_packing, SQL_Q53),
     "q30_multimodal_metadata": (q30_multimodal_metadata, SQL_Q30),
     "q31_frame_sample_plan": (q31_frame_sample_plan, SQL_Q31),
+    "q55_repetition_signals": (q55_repetition_signals, SQL_Q55),
 }
