@@ -49,6 +49,8 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   k: int = 5, min_docs: int = 2,
                   pii_max_hits: int = 0, min_tokens: int = 5,
                   max_punct_permille: int = 100,
+                  contamination_canaries: list[str] | None = None,
+                  repetition_thresholds: dict[str, float] | None = None,
                   intermediate: str = "parquet",
                   temp_dir: str | None = None,
                   ) -> tuple[DataFrame, DataFrame]:
@@ -75,14 +77,33 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     how many consumers run — the round-4 lazy funnel re-executed the
     span stage per aggregate (a 4-5× corpus recompute at scale).
     ``intermediate="none"``: fully lazy, recomputed per consumer (toy
-    inputs / plan-inspection only)."""
+    inputs / plan-inspection only).
+
+    Opt-in gates (both ``None``-off by default, preserving the q51
+    oracle funnel): ``contamination_canaries`` inserts the literal
+    benchmark-contamination gate (operators/piiscan.contamination_gate)
+    right after the PII gate — another pure-predicate filtered scan, so
+    the two compose into the same scan region; adds funnel stage
+    ``01b_decontaminated``. ``repetition_thresholds`` appends the
+    Gopher repetition gate (operators/repetition.repetition_gate; pass
+    ``repetition.GOPHER_THRESHOLDS`` for the published defaults — here
+    ``None`` means the stage is OFF, not default-thresholds) AFTER the quality
+    gate, on the span-rewritten text (repetition is a property of the
+    text that would actually ship); adds funnel stage
+    ``05_repetition_pass``."""
     spark = docs.sparkSession
     src_cols = [F.col(id_col).alias("id"), F.col("source"),
                 F.col(text_col)]
     base = docs.select(*src_cols)
 
-    clean0, _quarantined = pii_gate(base, text_col,
-                                    max_hits=pii_max_hits)
+    pii_clean, _quarantined = pii_gate(base, text_col,
+                                       max_hits=pii_max_hits)
+    clean0 = pii_clean
+    if contamination_canaries is not None:
+        from ..operators.piiscan import contamination_gate
+
+        clean0, _contam = contamination_gate(pii_clean, "id", text_col,
+                                             canaries=contamination_canaries)
     fp = clean0.withColumn(
         "_fp", F.coalesce(F.md5(text_col), F.lit(_NULL_FP)))
 
@@ -113,17 +134,27 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                       * max_punct_permille)
                      & (F.col("n_tokens") >= min_tokens))
              .select("id", "source", "text_clean"))
+    final = gated
+    if repetition_thresholds is not None:
+        from ..operators.repetition import repetition_gate
+
+        final, _rep_bad = repetition_gate(gated, "id", "text_clean",
+                                          thresholds=repetition_thresholds)
 
     # Funnel branches read the materialized stages (parquet mode):
     # 00 is a raw-input count (no regex), 01/02 are footer-cheap counts
     # of the stage files (the span rewrite preserves rows, so the
     # staged count IS the post-dedup count), 03/04 are single filtered
     # scans of the staged files.
+    # with the contamination gate ON, the materialized fp files are
+    # post-BOTH-gates, so 01 re-runs the pii predicate live (one
+    # filtered scan — gates-on is opt-in) and 01b reads the files
+    stage01 = fp if contamination_canaries is None else pii_clean
     funnel = (
         base.agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("00_input").alias("stage"), "n")
         .unionByName(
-            fp.agg(F.count(F.lit(1)).alias("n"))
+            stage01.agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit("01_pii_clean").alias("stage"), "n"))
         .unionByName(
             staged.agg(F.count(F.lit(1)).alias("n"))
@@ -136,7 +167,15 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
             gated.agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit("04_quality_pass").alias("stage"), "n"))
     )
-    return gated, funnel
+    if contamination_canaries is not None:
+        funnel = funnel.unionByName(
+            fp.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("01b_decontaminated").alias("stage"), "n"))
+    if repetition_thresholds is not None:
+        funnel = funnel.unionByName(
+            final.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("05_repetition_pass").alias("stage"), "n"))
+    return final, funnel
 
 
 def run_curation(spark, docs: DataFrame, out_path: str, *,
@@ -157,14 +196,23 @@ def run_curation(spark, docs: DataFrame, out_path: str, *,
         from ..streaming.checkpoint import _append_ckpt
 
         f = {r["stage"]: r["n"] for r in funnel.collect()}
-        n_in, n_pii = f["00_input"], f["01_pii_clean"]
-        n_uni, n_q = f["02_unique"], f["04_quality_pass"]
-        _append_ckpt(spark, lineage_path, run_id, "pii_gate", "all",
-                     n_in, n_pii, n_in - n_pii, "done")
-        _append_ckpt(spark, lineage_path, run_id, "exact_dedup", "all",
-                     n_pii, n_uni, n_pii - n_uni, "done")
-        _append_ckpt(spark, lineage_path, run_id, "span_rewrite", "all",
-                     n_uni, n_uni, 0, "done")
-        _append_ckpt(spark, lineage_path, run_id, "quality_gate", "all",
-                     n_uni, n_q, n_uni - n_q, "done")
+        # consecutive count-stage pairs become lineage rows; the two
+        # opt-in gates (01b / 05) slot in when present
+        stage_names = {"01_pii_clean": "pii_gate",
+                       "01b_decontaminated": "contamination_gate",
+                       "02_unique": "exact_dedup",
+                       "04_quality_pass": "quality_gate",
+                       "05_repetition_pass": "repetition_gate"}
+        chain = [(s, f[s]) for s in
+                 ("00_input", "01_pii_clean", "01b_decontaminated",
+                  "02_unique", "04_quality_pass", "05_repetition_pass")
+                 if s in f]
+        for (_, n0), (s1, n1) in zip(chain, chain[1:]):
+            _append_ckpt(spark, lineage_path, run_id, stage_names[s1],
+                         "all", n0, n1, n0 - n1, "done")
+            if s1 == "02_unique":
+                # span rewrite preserves rows; its token accounting
+                # lives in the funnel/q51
+                _append_ckpt(spark, lineage_path, run_id, "span_rewrite",
+                             "all", n1, n1, 0, "done")
     return spark.read.parquet(out_path)

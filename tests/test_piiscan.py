@@ -269,3 +269,47 @@ def test_contamination_gate_table_path_and_arg_contract(spark):
                              canaries=["x y"], eval_shingles=ev)
     with pytest.raises(ValueError, match="empty or whitespace-only"):
         P.contamination_gate(df, "doc_id", "text", canaries=["  "])
+
+
+def test_curate_corpus_optional_gates(spark, tmp_path):
+    """Opt-in contamination + repetition stages: each fires on its
+    planted doc, funnel gains 01b/05 with truthful counts, and the
+    lineage chain keeps the rows_in == rows_out + rows_dropped
+    invariant across all six stages."""
+    from glean_cetaf_rdfs_spark.operators.repetition import GOPHER_THRESHOLDS
+    from glean_cetaf_rdfs_spark.plans.curation import curate_corpus, run_curation
+
+    rows = [
+        (1, "s0", "plain unique survivor document with enough words here"),
+        (2, "s0", "contains the held out eval phrase inside this text"),
+        (3, "s1", "spam spam spam spam spam spam spam spam spam spam"),
+        (4, "s1", "write to bob@mail.example.org for details please now"),
+        (5, "s2", "another perfectly ordinary document with plenty words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    curated, funnel = curate_corpus(
+        df, "doc_id", "text", min_tokens=5,
+        contamination_canaries=["held out eval phrase"],
+        repetition_thresholds=GOPHER_THRESHOLDS)
+    f = {r["stage"]: r["n"] for r in funnel.collect()}
+    assert f["00_input"] == 5
+    assert f["01_pii_clean"] == 4          # PII doc 4 quarantined
+    assert f["01b_decontaminated"] == 3    # canary doc 2 dropped
+    assert f["04_quality_pass"] == 3       # repeat doc passes punct/len gate
+    assert f["05_repetition_pass"] == 2    # ...but trips the Gopher rules
+    assert {r["id"] for r in curated.collect()} == {1, 5}
+
+    lineage = str(tmp_path / "lineage")
+    run_curation(spark, df, str(tmp_path / "out"), lineage_path=lineage,
+                 min_tokens=5,
+                 contamination_canaries=["held out eval phrase"],
+                 repetition_thresholds=GOPHER_THRESHOLDS)
+    lrows = spark.read.parquet(lineage).collect()
+    stages = {r["stage"] for r in lrows}
+    assert {"pii_gate", "contamination_gate", "exact_dedup",
+            "span_rewrite", "quality_gate", "repetition_gate"} <= stages
+    for r in lrows:
+        assert r["rows_in"] == r["rows_out"] + r["rows_dropped"], r
+    by_stage = {r["stage"]: r for r in lrows}
+    assert by_stage["contamination_gate"]["rows_dropped"] == 1
+    assert by_stage["repetition_gate"]["rows_dropped"] == 1
