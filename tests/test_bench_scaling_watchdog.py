@@ -1,0 +1,72 @@
+"""Watchdog/retry contract of tools/bench_scaling.run_level — pure
+subprocess-level tests (no Spark): a hung leg is killed by the
+leg-sized budget and retried once; a clean leg passes through."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+
+import pytest
+
+from tools import bench_scaling as BS
+
+
+def test_run_level_retries_once_then_raises(monkeypatch):
+    calls = []
+
+    def fake_run(cmd, **kw):
+        calls.append(kw.get("timeout"))
+        if cmd and cmd[0] == "pkill":
+            return subprocess.CompletedProcess(cmd, 0)
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout"))
+
+    monkeypatch.setattr(BS.subprocess, "run", fake_run)
+    monkeypatch.setattr(BS, "wait_for_calm", lambda *a, **k: 0.0)
+    with pytest.raises(subprocess.TimeoutExpired):
+        BS.run_level(2, 480_000, runs=2)
+    # two leg attempts (same budget), each followed by a JVM cleanup
+    leg_timeouts = [t for t in calls if t is not None]
+    assert len(leg_timeouts) == 2
+    # low leg at the default size: 600 + 3*2*900 = 6000 s budget
+    assert leg_timeouts == [6000, 6000]
+
+
+def test_run_level_budget_scales_with_input_and_cores(monkeypatch):
+    seen = {}
+
+    def fake_run(cmd, **kw):
+        seen["timeout"] = kw["timeout"]
+        out = json.dumps({"cores": 8, "n_turns": 1, "n_triples": 1,
+                          "wall_sec": 1.0, "walls": [1.0],
+                          "triples_per_sec": 1.0, "turns_per_sec": 1.0})
+        return subprocess.CompletedProcess(cmd, 0, stdout=out, stderr="")
+
+    monkeypatch.setattr(BS.subprocess, "run", fake_run)
+    monkeypatch.setattr(BS, "wait_for_calm", lambda *a, **k: 0.0)
+    res = BS.run_level(8, 120_000, runs=4)
+    assert res["cores"] == 8 and res["host_busy_before"] == 0.0
+    # high leg at quarter size: 600 + 3*4*(400*0.25) = 1800 s
+    assert seen["timeout"] == 1800
+
+
+def test_run_level_first_failure_then_success(monkeypatch):
+    state = {"n": 0}
+
+    def fake_run(cmd, **kw):
+        if cmd and cmd[0] == "pkill":
+            state["pkilled"] = True
+            return subprocess.CompletedProcess(cmd, 0)
+        state["n"] += 1
+        if state["n"] == 1:
+            raise subprocess.TimeoutExpired(cmd, kw.get("timeout"))
+        out = json.dumps({"cores": 2, "n_turns": 5, "n_triples": 7,
+                          "wall_sec": 2.0, "walls": [2.0, 2.1],
+                          "triples_per_sec": 3.5, "turns_per_sec": 2.5})
+        return subprocess.CompletedProcess(cmd, 0, stdout=out, stderr="")
+
+    monkeypatch.setattr(BS.subprocess, "run", fake_run)
+    monkeypatch.setattr(BS, "wait_for_calm", lambda *a, **k: 0.0)
+    res = BS.run_level(2, 480_000, runs=2)
+    assert res["n_triples"] == 7
+    assert state["pkilled"]  # the hung JVM was cleaned before the retry

@@ -105,13 +105,40 @@ def wait_for_calm(max_wait_s: float = 600.0, busy_thresh: float = 0.20) -> float
 
 
 def run_level(cores: int, n_convs: int, runs: int = 2) -> dict:
-    busy = wait_for_calm()
+    """One leg in a fresh subprocess, with a leg-sized watchdog and ONE
+    retry: a died-mid-stream Python worker leaves the JVM parked on the
+    worker socket forever (observed: task epoll-waiting in
+    BasePythonRunner.read with the whole host idle), and the only
+    recovery is killing the JVM and re-running the leg. The watchdog is
+    sized to the leg (generous 3× margin over the worst observed
+    per-run wall scaled by n_convs) instead of one flat hour, so a hang
+    costs minutes, not the whole bench budget."""
+    per_run = (900 if cores <= 2 else 400) * max(n_convs, 1) / 480_000
+    budget = int(600 + 3 * runs * per_run)  # input gen/read + runs
     code = CHILD.format(repo=str(REPO), cores=cores, n_convs=n_convs, runs=runs)
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=3600, check=True)
-    res = json.loads(out.stdout.strip().splitlines()[-1])
-    res["host_busy_before"] = busy
-    return res
+    last_err: Exception | None = None
+    for _attempt in range(2):
+        busy = wait_for_calm()
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, text=True,
+                                 timeout=budget, check=True)
+            res = json.loads(out.stdout.strip().splitlines()[-1])
+            res["host_busy_before"] = busy
+            return res
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError) as e:
+            last_err = e
+            # the timeout kills the python child only; the hung JVM is
+            # a grandchild and would otherwise idle-hold 16 GB pinned
+            # heap through the retry (app name is leg-specific, so this
+            # cannot touch the headline session)
+            subprocess.run(["pkill", "-9", "-f", "spark.app.name=scal"],
+                           check=False)
+            print(json.dumps({"detail": "leg_retry", "cores": cores,
+                              "error": type(e).__name__}),
+                  file=sys.stderr, flush=True)
+    raise last_err
 
 
 def _consistent(walls: list[float], tol: float = 0.05) -> bool:
