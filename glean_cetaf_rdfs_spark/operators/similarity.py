@@ -342,3 +342,170 @@ def quantized_table_topk(spark, path: str, query: list[float], k: int = 10,
               .filter(F.col("bucket").isin(probe_buckets(query, planes, n_probe)))
               .withColumnRenamed("qv", "v"))
     return _scored_topk(pruned, query, k)
+
+
+# --- product quantization (PQ codes + ADC scoring) -------------------------
+
+def _kmeans(x: "np.ndarray", k: int, iters: int, seed: int) -> "np.ndarray":
+    """Seeded k-means++ + Lloyd (same scheme as :func:`ivf_centroids`,
+    kept separate so the q39 frozen-centroid oracle's code path stays
+    byte-identical). → (k, d) centers."""
+    rng = np.random.RandomState(seed)
+    centers = [x[int(rng.randint(len(x)))]]
+    for _ in range(1, k):
+        d2 = np.min([((x - c) ** 2).sum(axis=1) for c in centers], axis=0)
+        probs = (d2 / d2.sum() if d2.sum() > 0
+                 else np.full(len(x), 1.0 / len(x)))
+        centers.append(x[int(rng.choice(len(x), p=probs))])
+    c = np.array(centers)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c
+
+
+def _pq_normalize(vs: "np.ndarray") -> "np.ndarray":
+    """L2-normalize rows; zero vectors stay zero (their ADC score is 0,
+    never in a top-k — matching the float path's NULL-cosine rule)."""
+    n = np.linalg.norm(vs, axis=1, keepdims=True)
+    return vs / np.where(n == 0.0, 1.0, n)
+
+
+def pq_train(df: DataFrame, id_col: str, vec_col: str,
+             m: int = 16, k_codes: int = 64, sample_n: int = 256,
+             iters: int = 8, seed: int = LSH_SEED) -> "np.ndarray":
+    """Product-quantization codebooks (Jégou et al., TPAMI'11): split
+    the L2-NORMALIZED vector into ``m`` contiguous subvectors and train
+    an independent ``k_codes``-center k-means per subspace — the
+    compression tier below int8 (:func:`quantize_embeddings`): a d=64
+    float32 vector (256 B) becomes ``m`` = 8 code bytes, 32× less scan
+    IO, scored WITHOUT decompression via ADC lookup tables.
+
+    Same sample-train/distributed-apply split as :func:`ivf_centroids`
+    (and the BPE learner): codebooks converge on a driver-side sample
+    (lowest ``sample_n`` ids — deterministic, engine-portable); only
+    encoding touches the full corpus. Normalizing first makes the ADC
+    inner product approximate COSINE, the engine's metric everywhere.
+    → (m, k_codes, d/m) float64 array, centers rounded to 6 dp.
+    Requires d divisible by m.
+
+    Default geometry (m=16 × 64 centers over d=64): the synthetic
+    fixture's embeddings are ISOTROPIC — PQ's worst case (measured on
+    it: ADC/cosine corr 0.91, top-10 overlap 6/10 at 16×; the coarser
+    m=8×16 managed corr 0.60) — so the defaults favor many small
+    subspaces. Real text embeddings concentrate on low-dimensional
+    structure and quantize far better at the same geometry; exact
+    re-ranking of the ADC candidate set is the standard refinement
+    either way (pq_adc_topk docstring)."""
+    rows = (df.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_n).collect())
+    x = np.array([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
+    if not len(x):
+        return np.zeros((m, 0, 0))
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    x = _pq_normalize(x)
+    sub = d // m
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        k = min(k_codes, len(xs))
+        books.append(np.round(_kmeans(xs, k, iters, seed + j), 6))
+    return np.stack(books)
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str,
+              codebooks: "np.ndarray") -> DataFrame:
+    """→ (id, codes: array<tinyint>): per subspace, the index of the
+    nearest codebook center to the normalized subvector. One Arrow
+    stage (numpy argmin over (batch, k) distance matrices per
+    subspace); codes fit tinyint for k_codes ≤ 127."""
+    import pandas as pd
+
+    m, k, sub = codebooks.shape
+
+    def enc(batches):
+        for pdf in batches:
+            vs = _pq_normalize(np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]))
+            codes = np.empty((len(vs), m), dtype=np.int8)
+            for j in range(m):
+                xs = vs[:, j * sub:(j + 1) * sub]
+                d2 = ((xs[:, None, :] - codebooks[j][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1).astype(np.int8)
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
+                                "codes": [row for row in codes]})
+
+    return (df.select(id_col, vec_col)
+            .mapInPandas(enc, "id long, codes array<tinyint>"))
+
+
+def pq_adc_topk(codes_df: DataFrame, query: list[float],
+                codebooks: "np.ndarray", k: int = 10) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ codes table: the query
+    stays FLOAT; per subspace a k_codes-entry inner-product lookup
+    table <q_sub, center> is built driver-side and rides the plan as
+    literals, so scoring is ``m`` array lookups + adds per row — one
+    codegen'd JVM expression over the tinyint codes, no Python stage
+    and no decompression. Scores approximate cosine (normalized-space
+    inner product); exact re-ranking of the ADC top candidates against
+    float vectors is the standard refinement when needed.
+    → (id, adc), TakeOrdered k."""
+    m, kc, sub = codebooks.shape
+    q = _pq_normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
+    score = F.lit(0.0)
+    for j in range(m):
+        table = codebooks[j] @ q[j * sub:(j + 1) * sub]
+        tlit = F.array(*[F.lit(round(float(t), 6)) for t in table])
+        # codes are 0-based; element_at is 1-based (ANSI-safe: codes
+        # come from argmin over the same codebook, never out of range)
+        score = score + F.element_at(
+            tlit, F.col("codes").getItem(j).cast("int") + F.lit(1))
+    return (codes_df.select("id", F.round(score, 6).alias("adc"))
+            .orderBy(F.col("adc").desc(), "id").limit(k))
+
+
+def pq_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
+            k: int = 10, m: int = 16, k_codes: int = 64) -> DataFrame:
+    """Train + encode + ADC in one call (inline form; the table form
+    below is the 100 TB path). → (id, adc)."""
+    books = pq_train(df, id_col, vec_col, m=m, k_codes=k_codes)
+    return pq_adc_topk(pq_encode(df, id_col, vec_col, books), query, books, k)
+
+
+def write_pq_codes(df: DataFrame, id_col: str, vec_col: str, path: str,
+                   codebooks: "np.ndarray", n_planes: int = 4,
+                   dim: int | None = None) -> None:
+    """Materialize the LSH-bucketed PQ table: (id, codes) written
+    ``partitionBy("bucket")`` with the bucket computed on the ORIGINAL
+    float vector (same rule as :func:`write_quantized_embeddings`).
+    Probes then compose BOTH scale levers: partition pruning cuts the
+    scanned rows to the probed buckets, PQ cuts the bytes per scanned
+    row 32× — and the codebooks (m·k_codes·d/m floats, KBs) ship in
+    the plan, nothing joins."""
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = plane_weights(dim, n_planes)
+    buckets = df.select(F.col(id_col).alias("id"),
+                        lsh_bucket_of(F.col(vec_col), planes).alias("bucket"))
+    (pq_encode(df, id_col, vec_col, codebooks)
+     .join(buckets, "id")
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def pq_table_topk(spark, path: str, query: list[float],
+                  codebooks: "np.ndarray", k: int = 10,
+                  n_planes: int = 4, n_probe: int = 1) -> DataFrame:
+    """Probe the bucketed PQ table: bucket IN (probes) partition
+    pruning, then ADC scoring of the surviving code rows. → (id, adc)."""
+    planes = plane_weights(len(query), n_planes)
+    pruned = (spark.read.parquet(path)
+              .filter(F.col("bucket").isin(probe_buckets(query, planes,
+                                                         n_probe))))
+    return pq_adc_topk(pruned, query, codebooks, k)

@@ -514,3 +514,65 @@ def test_quantized_table_topk_tracks_float_and_prunes(spark, embs, tmp_path):
     qv_field = [f for f in spark.read.parquet(qpath).schema.fields
                 if f.name == "qv"][0]
     assert "tinyint" in qv_field.dataType.simpleString()
+
+
+def test_pq_adc_tracks_exact_cosine(spark, embs):
+    """PQ codes + ADC approximate cosine: strong rank correlation with
+    the exact float scores and substantial top-10 overlap — on the
+    ISOTROPIC fixture, PQ's worst case (docstring on pq_train)."""
+    import numpy as np
+
+    q = [float((i * 7) % 13 - 6) for i in range(64)]
+    books = S.pq_train(embs, "vec_id", "embedding")
+    assert books.shape == (16, 64, 4)
+    exact = {r["id"]: r["cos"] for r in
+             S.cosine_topk(embs, "vec_id", "embedding", q,
+                           k=embs.count()).collect()}
+    codes = S.pq_encode(embs, "vec_id", "embedding", books)
+    adc_rows = S.pq_adc_topk(codes, q, books, k=len(exact)).collect()
+    adc = {r["id"]: r["adc"] for r in adc_rows}
+    common = sorted(set(adc) & set(exact))
+    corr = np.corrcoef([adc[i] for i in common],
+                       [exact[i] for i in common])[0, 1]
+    assert corr > 0.8
+    top_exact = set(sorted(exact, key=exact.get, reverse=True)[:10])
+    top_adc = {r["id"] for r in adc_rows[:10]}
+    assert len(top_exact & top_adc) >= 4
+
+
+def test_pq_encode_deterministic_and_tinyint(spark, embs):
+    books = S.pq_train(embs, "vec_id", "embedding")
+    one = {r["id"]: list(r["codes"]) for r in
+           S.pq_encode(embs, "vec_id", "embedding", books).collect()}
+    two = {r["id"]: list(r["codes"]) for r in
+           S.pq_encode(embs.repartition(7), "vec_id", "embedding",
+                       books).collect()}
+    assert one == two
+    assert all(len(c) == 16 and all(0 <= x < 64 for x in c)
+               for c in one.values())
+    f = dict(S.pq_encode(embs, "vec_id", "embedding", books)
+             .dtypes)["codes"]
+    assert f == "array<tinyint>"
+
+
+def test_pq_table_prunes_and_matches_inline(spark, embs, tmp_path):
+    """The bucketed PQ table returns the same top-k as inline ADC
+    restricted to the probed buckets, with PartitionFilters pruning."""
+    q = [float((i * 5) % 11 - 5) for i in range(64)]
+    books = S.pq_train(embs, "vec_id", "embedding")
+    path = str(tmp_path / "pq")
+    S.write_pq_codes(embs, "vec_id", "embedding", path, books)
+    got = S.pq_table_topk(spark, path, q, books, k=5, n_probe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+    table_ids = [r["id"] for r in got.collect()]
+    planes = S.plane_weights(64, 4)
+    probes = S.probe_buckets(q, planes, 2)
+    inline = (S.pq_encode(embs, "vec_id", "embedding", books)
+              .join(embs.select(F.col("vec_id").alias("id"),
+                                S.lsh_bucket_of(F.col("embedding"),
+                                                planes).alias("b")), "id")
+              .filter(F.col("b").isin(probes)))
+    inline_ids = [r["id"] for r in
+                  S.pq_adc_topk(inline, q, books, k=5).collect()]
+    assert table_ids == inline_ids and len(table_ids) > 0
