@@ -218,8 +218,12 @@ def near_contamination_gate(df: DataFrame, id_col: str, text_col: str,
     eval_bands = (band_signatures(eval_df, eval_id_col, eval_text_col,
                                   n, k, bands)
                   .select("band", "band_sig").distinct())
+    # freeze the (small) colliding-id set once: both returned sides
+    # consume it in separate actions, and a lazy `hit` would re-run the
+    # corpus signature aggregation — the gate's dominant cost — twice
     hit = (corpus_bands.join(F.broadcast(eval_bands), ["band", "band_sig"])
-           .select(F.col("id").alias(id_col)).distinct())
+           .select(F.col("id").alias(id_col)).distinct()
+           .localCheckpoint(eager=True))
     return (df.join(hit, id_col, "left_anti"),
             df.join(hit, id_col, "left_semi"))
 

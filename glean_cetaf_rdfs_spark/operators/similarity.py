@@ -382,8 +382,9 @@ def pq_train(df: DataFrame, id_col: str, vec_col: str,
     the L2-NORMALIZED vector into ``m`` contiguous subvectors and train
     an independent ``k_codes``-center k-means per subspace — the
     compression tier below int8 (:func:`quantize_embeddings`): a d=64
-    float32 vector (256 B) becomes ``m`` = 8 code bytes, 32× less scan
-    IO, scored WITHOUT decompression via ADC lookup tables.
+    float32 vector (256 B) becomes ``m`` code bytes (16 B at the
+    default m=16 — 16× less scan IO), scored WITHOUT decompression via
+    ADC lookup tables.
 
     Same sample-train/distributed-apply split as :func:`ivf_centroids`
     (and the BPE learner): codebooks converge on a driver-side sample
@@ -409,6 +410,12 @@ def pq_train(df: DataFrame, id_col: str, vec_col: str,
     d = x.shape[1]
     if d % m:
         raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    if k_codes > 127:
+        # codes are stored tinyint; 128+ would wrap negative in
+        # pq_encode's int8 cast and element_at would silently read
+        # from the END of the ADC table
+        raise ValueError(f"pq_train: k_codes={k_codes} exceeds the "
+                         f"tinyint code range (max 127)")
     x = _pq_normalize(x)
     sub = d // m
     books = []
@@ -487,7 +494,7 @@ def write_pq_codes(df: DataFrame, id_col: str, vec_col: str, path: str,
     float vector (same rule as :func:`write_quantized_embeddings`).
     Probes then compose BOTH scale levers: partition pruning cuts the
     scanned rows to the probed buckets, PQ cuts the bytes per scanned
-    row 32× — and the codebooks (m·k_codes·d/m floats, KBs) ship in
+    row (16× at the defaults) — and the codebooks (m·k_codes·d/m floats, KBs) ship in
     the plan, nothing joins."""
     if dim is None:
         dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]

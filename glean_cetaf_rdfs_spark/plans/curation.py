@@ -99,9 +99,23 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     pii_clean, _quarantined = pii_gate(base, text_col,
                                        max_hits=pii_max_hits)
     clean0 = pii_clean
+    obs01 = None
     if contamination_canaries is not None:
         from ..operators.piiscan import contamination_gate
 
+        if intermediate == "parquet":
+            # the funnel's 01 count must be PRE-contamination, but the
+            # materialized fp files are post-both-gates; an Observation
+            # between the two filters counts the pii-clean rows on the
+            # fp write itself — no second regex pass over the corpus
+            # (the module's each-stage-executes-once invariant)
+            import uuid
+
+            from pyspark.sql.observation import Observation
+
+            obs01 = Observation(f"pii01_{uuid.uuid4().hex}")
+            pii_clean = pii_clean.observe(
+                obs01, F.count(F.lit(1)).alias("n"))
         clean0, _contam = contamination_gate(pii_clean, "id", text_col,
                                              canaries=contamination_canaries)
     fp = clean0.withColumn(
@@ -147,15 +161,22 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     # staged count IS the post-dedup count), 03/04 are single filtered
     # scans of the staged files.
     # with the contamination gate ON, the materialized fp files are
-    # post-BOTH-gates, so 01 re-runs the pii predicate live (one
-    # filtered scan — gates-on is opt-in) and 01b reads the files
-    stage01 = fp if contamination_canaries is None else pii_clean
+    # post-BOTH-gates; 01 comes from the Observation captured on the
+    # fp write (parquet mode — zero extra passes) or, fully-lazy, from
+    # a live re-run of the pii predicate (plan-inspection mode only)
+    if contamination_canaries is None:
+        row01 = (fp.agg(F.count(F.lit(1)).alias("n"))
+                 .select(F.lit("01_pii_clean").alias("stage"), "n"))
+    elif obs01 is not None:
+        row01 = spark.createDataFrame(
+            [("01_pii_clean", int(obs01.get["n"]))], "stage string, n long")
+    else:
+        row01 = (pii_clean.agg(F.count(F.lit(1)).alias("n"))
+                 .select(F.lit("01_pii_clean").alias("stage"), "n"))
     funnel = (
         base.agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("00_input").alias("stage"), "n")
-        .unionByName(
-            stage01.agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit("01_pii_clean").alias("stage"), "n"))
+        .unionByName(row01)
         .unionByName(
             staged.agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit("02_unique").alias("stage"), "n"))

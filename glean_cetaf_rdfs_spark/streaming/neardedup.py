@@ -7,38 +7,40 @@ timestamps — survive it, and a growing corpus accretes them batch by
 batch. This module is the incremental form of the batch MinHash-LSH
 path (operators/dedupe.minhash_lsh_pairs): each micro-batch's band
 signatures are checked against a persistent BAND STORE of everything
-admitted so far; colliding docs are dropped, survivors' bands are
-appended.
+SEEN so far; colliding docs are dropped, and the batch's bands — of
+admitted AND dropped docs — are appended.
 
 Semantics — candidate-level (blocking-only) dedup: a doc is dropped
-when it shares ANY (band, band_sig) bucket with an admitted doc. That
-is the LSH candidate test WITHOUT the exact-Jaccard verify step the
-batch path runs, because verification against history would require
-storing every admitted doc's shingle set — O(corpus tokens) state
-instead of O(corpus × bands) rows. Tune precision/recall with
-(n, k, bands) exactly as in minhash_lsh_pairs; with the defaults a
-band collision needs k/bands consecutive minhash agreements, which for
-dissimilar docs is vanishingly unlikely. Dropping on candidacy is the
-conservative direction for curation (never admits a near-dup the
-batch path would have caught).
+when its connected component (over within-batch band-collision edges)
+contains any doc sharing a (band, band_sig) bucket with the store.
+That reproduces the batch path's pairs→CC→min-survivor composition
+(q37/q41) transitively: if A collides with stored S and B collides
+with A, BOTH are dropped even though B never touches S's bands —
+exactly what batch CC over {S, A, B} would do. Storing dropped docs'
+bands keeps the same guarantee ACROSS batches (a later near-dup of the
+dropped A is still caught). This is the LSH candidate test WITHOUT the
+exact-Jaccard verify step the batch path runs, because verification
+against history would require storing every seen doc's shingle set —
+O(corpus tokens) state instead of O(corpus × bands) rows. Tune
+precision/recall with (n, k, bands) exactly as in minhash_lsh_pairs;
+dropping on candidacy is the conservative direction for curation.
 
-Within a batch, collisions form an edge set resolved by connected
-components (operators/cc.py) keeping the min-id doc per cluster — the
-same survivor rule as the batch q41 APPLY path, so one batch replayed
-through this gate equals the batch pipeline's output.
+Docs that produce NO bands (fewer than ``n`` tokens, empty or NULL
+text) cannot collide with anything and are ALWAYS admitted — the same
+too-short-is-clean rule as piiscan.near_contamination_gate; without it
+the final survivor join would silently delete them (the NULL-contract
+bug class plans/curation.py's _NULL_FP sentinel documents).
 
 State layout (100 TB shape): the band store is parquet partitioned by
 ``epoch``; a batch joins against it shuffle-on-(band, band_sig) — no
 broadcast assumption, the store grows with the corpus — and appends
-its survivors' bands by OVERWRITING its own epoch partition (dynamic
-partition overwrite). Replays are therefore idempotent: the store read
-EXCLUDES the current epoch, so a half-written epoch from a crashed
-attempt neither suppresses its own replay nor double-counts.
+its bands by OVERWRITING its own epoch partition (dynamic partition
+overwrite). Replays are therefore idempotent: the store read EXCLUDES
+the current epoch, so a half-written epoch from a crashed attempt
+neither suppresses its own replay nor double-counts.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,9 +52,17 @@ BAND_STORE_SCHEMA = "band int, band_sig string, epoch long"
 
 
 def read_band_store(spark: SparkSession, path: str) -> DataFrame:
-    if os.path.exists(path):
+    """Missing-store probe via the read itself, not a driver-side
+    os.path check: on HDFS/S3 paths ``os.path.exists`` is always False,
+    which would silently read every store as empty and turn the gate
+    into a no-op. A failed parquet read (path not found) IS the empty
+    store."""
+    from pyspark.errors import AnalysisException
+
+    try:
         return spark.read.parquet(path)
-    return spark.createDataFrame([], schema=BAND_STORE_SCHEMA)
+    except AnalysisException:
+        return spark.createDataFrame([], schema=BAND_STORE_SCHEMA)
 
 
 def incremental_near_dedup(spark: SparkSession, batch_df: DataFrame,
@@ -60,49 +70,61 @@ def incremental_near_dedup(spark: SparkSession, batch_df: DataFrame,
                            band_store_dir: str, epoch_id: int,
                            n: int = 3, k: int = 8, bands: int = 4,
                            checkpoint_dir: str | None = None) -> DataFrame:
-    """Admit the subset of ``batch_df`` that is not a near-duplicate of
-    any previously admitted doc (band store) or of a smaller-id doc in
-    the same batch (connected components over band-collision edges);
-    persist the survivors' band signatures under ``epoch=epoch_id``;
-    return the surviving rows with the input schema.
+    """Admit the subset of ``batch_df`` that is not (transitively) a
+    near-duplicate of any previously seen doc or of a smaller-id doc in
+    the same batch (module docstring for the exact semantics); persist
+    the batch's band signatures under ``epoch=epoch_id``; return the
+    surviving rows with the input schema. Band-less docs (< ``n``
+    tokens) are admitted untouched.
 
     Designed as the body of a ``foreachBatch`` writer
     (:func:`near_dedup_batch_writer`) but callable directly for
     batch-at-a-time incremental jobs. RETURNS AN EAGER RESULT: the
-    band-store write materializes the survivor set, and the returned
-    frame is read back from that decision (localCheckpoint) so callers
-    can write it without recomputing the LSH plan. ``checkpoint_dir``
+    survivor decision is frozen (localCheckpoint) before the band-store
+    write, so callers can write it without recomputing the LSH plan and
+    a lazy plan cannot race the store overwrite. ``checkpoint_dir``
     feeds :func:`connected_components` (reliable checkpoints on a real
     cluster; default executor-local)."""
     bnd = band_signatures(batch_df, id_col, text_col, n, k, bands)
-    bnd = bnd.localCheckpoint(eager=True)  # minhash once, joined thrice
+    bnd = bnd.localCheckpoint(eager=True)  # minhash once, consumed 4×
+    banded_ids = bnd.select("id").distinct()
+    bandless = batch_df.join(
+        banded_ids.withColumnRenamed("id", id_col).select(id_col),
+        id_col, "left_anti")
     prior = (read_band_store(spark, band_store_dir)
              .filter(F.col("epoch") != epoch_id)
              .select("band", "band_sig").distinct())
     hit = bnd.join(prior, ["band", "band_sig"]).select("id").distinct()
-    fresh_bnd = bnd.join(hit, "id", "left_anti")
-    edges = (fresh_bnd.select(F.col("id").alias("src"), "band", "band_sig")
-             .join(fresh_bnd.select(F.col("id").alias("dst"),
-                                    "band", "band_sig"),
+    # edges over ALL banded docs — including store-hit ones, so chains
+    # through a dropped doc still connect (A~store, B~A ⇒ B dropped)
+    edges = (bnd.select(F.col("id").alias("src"), "band", "band_sig")
+             .join(bnd.select(F.col("id").alias("dst"), "band", "band_sig"),
                    ["band", "band_sig"])
              .filter(F.col("src") < F.col("dst"))
              .select("src", "dst").distinct())
     comp = connected_components(edges, checkpoint_dir=checkpoint_dir)
-    within_dup = (comp.filter(F.col("member") != F.col("canonical"))
-                  .select(F.col("member").alias("id")))
+    membership = (banded_ids
+                  .join(comp, banded_ids["id"] == comp["member"], "left")
+                  .select(banded_ids["id"],
+                          F.coalesce(comp["canonical"], banded_ids["id"])
+                          .alias("comp_id")))
+    infected = (membership.join(hit, "id")
+                .select("comp_id").distinct())
     # freeze the survivor decision BEFORE touching the store: the band
     # write below overwrites this epoch's partition, and a lazy plan
     # re-reading the store afterwards would race its own output
-    survivor_ids = (fresh_bnd.select("id").distinct()
-                    .join(within_dup, "id", "left_anti")
+    survivor_ids = (membership.join(infected, "comp_id", "left_anti")
+                    .groupBy("comp_id").agg(F.min("id").alias("id"))
+                    .select("id")
                     .localCheckpoint(eager=True))
-    (fresh_bnd.join(survivor_ids, "id")
-     .select("band", "band_sig", F.lit(epoch_id).cast("long").alias("epoch"))
+    (bnd.select("band", "band_sig",
+                F.lit(epoch_id).cast("long").alias("epoch"))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("epoch").parquet(band_store_dir))
-    return batch_df.join(survivor_ids.withColumnRenamed("id", id_col)
-                         .select(id_col), id_col)
+    admitted = batch_df.join(survivor_ids.withColumnRenamed("id", id_col)
+                             .select(id_col), id_col)
+    return admitted.unionByName(bandless)
 
 
 def near_dedup_batch_writer(spark: SparkSession, id_col: str, text_col: str,

@@ -576,3 +576,10 @@ def test_pq_table_prunes_and_matches_inline(spark, embs, tmp_path):
     inline_ids = [r["id"] for r in
                   S.pq_adc_topk(inline, q, books, k=5).collect()]
     assert table_ids == inline_ids and len(table_ids) > 0
+
+
+def test_pq_train_rejects_non_tinyint_codes(spark, embs):
+    with pytest.raises(ValueError, match="tinyint"):
+        S.pq_train(embs, "vec_id", "embedding", m=16, k_codes=200)
+    with pytest.raises(ValueError, match="divisible"):
+        S.pq_train(embs, "vec_id", "embedding", m=7)

@@ -122,3 +122,56 @@ def test_incremental_curation_writer_end_to_end(spark, tmp_path):
     # replay of 1 (caught by the band store, no separate exact stage)
     assert ids == {1, 12}
     assert got.select("_epoch").distinct().count() == 2
+
+
+def test_bandless_docs_always_admitted(spark, tmp_path):
+    """Docs too short to shingle (< n tokens) and NULL texts produce no
+    bands, cannot collide, and must pass the gate untouched — they
+    previously vanished from the survivor join entirely."""
+    store = str(tmp_path / "bands")
+    batch = _df(spark, [(1, BASE), (2, "tiny doc"), (3, None)])
+    kept = ND.incremental_near_dedup(spark, batch, "doc_id", "text", store, 0)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3}
+    # band-less docs leave no store memory (documented: nothing to
+    # collide with), so a re-send in a later epoch passes again
+    kept2 = ND.incremental_near_dedup(
+        spark, _df(spark, [(9, "tiny doc")]), "doc_id", "text", store, 1)
+    assert {r["doc_id"] for r in kept2.collect()} == {9}
+
+
+def test_transitive_chain_dropped(spark, tmp_path):
+    """A collides with stored S; B collides with A but NOT with S
+    directly. Batch CC over {S, A, B} drops both — the incremental gate
+    must match (previously B slipped through because store-hit docs
+    were excluded from the edge set)."""
+    from glean_cetaf_rdfs_spark.operators.dedupe import band_signatures
+
+    X = "one two three four five six seven eight nine ten eleven twelve"
+    Y = ("red orange yellow green blue indigo violet crimson amber teal "
+         "navy gold")
+    Z = "cat dog bird fish horse sheep goat cow duck goose mouse rabbit"
+    W = "north south east west up down left right front back inner outer"
+    S, A, B = X + " " + Y, Y + " " + Z, Z + " " + W
+    # premise check (fails loudly if the md5 minhash ever changes):
+    # A shares a band with S, B with A, B NOT with S
+    sig = band_signatures(
+        _df(spark, [(0, S), (1, A), (2, B)]), "doc_id", "text").collect()
+    by = {}
+    for r in sig:
+        by.setdefault((r["band"], r["band_sig"]), set()).add(r["id"])
+    def col(x, y):
+        return any({x, y} <= s for s in by.values())
+    assert col(0, 1) and col(1, 2) and not col(0, 2)
+
+    store = str(tmp_path / "bands")
+    kept0 = ND.incremental_near_dedup(
+        spark, _df(spark, [(0, S)]), "doc_id", "text", store, 0)
+    assert {r["doc_id"] for r in kept0.collect()} == {0}
+    kept1 = ND.incremental_near_dedup(
+        spark, _df(spark, [(1, A), (2, B)]), "doc_id", "text", store, 1)
+    assert kept1.count() == 0
+    # ...and the dropped docs' bands persist, so a LATER near-dup of B
+    # (colliding with B only) is also caught
+    kept2 = ND.incremental_near_dedup(
+        spark, _df(spark, [(3, B + " extra")]), "doc_id", "text", store, 2)
+    assert kept2.count() == 0
