@@ -22,6 +22,40 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# A Python worker dying mid-stream leaves the driver parked forever on
+# the worker socket (no Spark timeout fires in local mode — the
+# scaling-leg hang of 2026-08-17, jstack'd in BENCH.md). Every timed
+# collect runs under a job-group watchdog: ~20× the slowest healthy
+# headline query, so it NEVER fires on a slow-but-alive run, only on a
+# wedged one — the run is cancelled, recorded at the cap, and the bench
+# moves on instead of producing no artifact at all.
+PER_QUERY_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT",
+                                           "180"))
+
+
+def timed_action(spark, fn, timeout_s: float, label: str):
+    """Run one Spark action under a cancellable job group: a watchdog
+    thread cancels the group at ``timeout_s`` (interruptOnCancel so
+    wedged socket reads are interrupted), making a hung Python worker
+    cost one query slot instead of the whole bench."""
+    import threading
+
+    sc = spark.sparkContext
+    group = f"bench:{label}"
+    sc.setJobGroup(group, group, interruptOnCancel=True)
+    timer = threading.Timer(timeout_s, lambda: sc.cancelJobGroup(group))
+    timer.daemon = True
+    timer.start()
+    try:
+        return fn()
+    finally:
+        timer.cancel()
+        sc.setJobGroup(None, None)
+
+
+def timed_collect(spark, df, timeout_s: float, label: str):
+    return timed_action(spark, df.collect, timeout_s, label)
+
 # headline set: one per operator family that matters at scale. q18/q21
 # now ship with blocking (stop-shingle cap / sign-LSH buckets), so they
 # are benchmarked too.
@@ -85,14 +119,22 @@ def main() -> None:
     # worker-fork costs inside its measured time. Warm-up dir derived
     # from SF_DIR (smallest sibling sf dir if present) — never a
     # hardcoded path that may not exist on another host.
-    qs["q03_status_histogram"](spark, SF_DIR).collect()
+    try:
+        timed_collect(spark, qs["q03_status_histogram"](spark, SF_DIR),
+                      PER_QUERY_TIMEOUT_S, "warm_q03")
+    except Exception:  # noqa: BLE001 — a failed warm-up must not kill the bench
+        pass
     warm_dir = SF_DIR
     for sib in ("sf0.001", "sf0.01"):
         cand = str(Path(SF_DIR).parent / sib)
         if Path(cand).is_dir():
             warm_dir = cand
             break
-    qs["q32_kg_pipeline_predicates"](spark, warm_dir).collect()
+    try:
+        timed_collect(spark, qs["q32_kg_pipeline_predicates"](spark, warm_dir),
+                      PER_QUERY_TIMEOUT_S, "warm_q32")
+    except Exception:  # noqa: BLE001
+        pass
 
     # median-of-3 per headline query: best-of-2 still let one noisy host
     # window through in the round-3 artifact (q18 recorded 3x its calm
@@ -101,14 +143,25 @@ def main() -> None:
     # re-run reproduces
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    timeouts: list[str] = []
     for name in HEADLINE:
         walls, out = [], []
         for _ in range(3):
             t0 = time.perf_counter()
-            out = qs[name](spark, SF_DIR).collect()
+            try:
+                out = timed_collect(spark, qs[name](spark, SF_DIR),
+                                    PER_QUERY_TIMEOUT_S, name)
+            except Exception:  # noqa: BLE001 — cancelled/hung run
+                walls.append(PER_QUERY_TIMEOUT_S)
+                if name not in timeouts:
+                    timeouts.append(name)
+                continue
             walls.append(time.perf_counter() - t0)
         timings[name] = round(sorted(walls)[1], 3)
         rows[name] = len(out)
+    if timeouts:
+        print(json.dumps({"detail": "query_timeouts",
+                          "timeouts": timeouts}), flush=True)
 
     # KG throughput: triples/sec over the pipeline leg (north-rule metric)
     kg_triples = None
@@ -121,7 +174,14 @@ def main() -> None:
         kg_walls, kg_triples = [], 0
         for _ in range(3):  # median-of-3, same rationale as the headline loop
             t0 = time.perf_counter()
-            kg_triples = build_triples(transcripts_df(spark, n_convs)).count()
+            try:
+                kg_triples = timed_action(
+                    spark,
+                    build_triples(transcripts_df(spark, n_convs)).count,
+                    PER_QUERY_TIMEOUT_S, "kg_count")
+            except Exception:  # noqa: BLE001 — hung run: record the cap
+                kg_walls.append(PER_QUERY_TIMEOUT_S)
+                continue
             kg_walls.append(time.perf_counter() - t0)
         timings["kg_pipeline_count"] = round(sorted(kg_walls)[1], 3)
 

@@ -70,3 +70,33 @@ def test_run_level_first_failure_then_success(monkeypatch):
     res = BS.run_level(2, 480_000, runs=2)
     assert res["n_triples"] == 7
     assert state["pkilled"]  # the hung JVM was cleaned before the retry
+
+
+def test_timed_action_cancels_wedged_query(spark):
+    """The job-group watchdog must interrupt a stuck Python stage (the
+    worker-death hang surrogate: a worker sleeping far past the budget)
+    and leave the session healthy for the next query."""
+    import time as _time
+
+    import bench as B
+
+    def slow(batches):
+        for pdf in batches:
+            _time.sleep(30)
+            yield pdf
+
+    df = (spark.range(4).selectExpr("id", "id * 2 AS x")
+          .mapInPandas(slow, "id long, x long"))
+    t0 = _time.monotonic()
+    with pytest.raises(Exception):
+        B.timed_collect(spark, df, 3.0, "wedged")
+    assert _time.monotonic() - t0 < 25  # cancelled, not slept out
+    # session still usable afterwards
+    assert spark.range(5).count() == 5
+
+
+def test_timed_action_passthrough(spark):
+    import bench as B
+
+    out = B.timed_collect(spark, spark.range(3), 60.0, "ok")
+    assert len(out) == 3
