@@ -174,3 +174,20 @@ def test_top_ngram_tiebreak_deterministic(spark):
             .collect()[0])
     assert one["top_ngram_chars"] == many["top_ngram_chars"] \
         == len("longword1 longword2")
+
+
+def test_paragraph_level_variant(spark):
+    """sep is the unit boundary: with a blank-line separator the same
+    counting plan measures duplicate PARAGRAPHS (Gopher runs both
+    granularities)."""
+    text = ("intro paragraph here\n\nrepeated body paragraph\n\n"
+            "repeated body paragraph\n\nclosing words")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    para = R.line_repetition(df, "doc_id", "text", sep="\n\n").collect()[0]
+    assert (para["n_lines"], para["n_dup_lines"]) == (4, 2)
+    line = R.line_repetition(df, "doc_id", "text").collect()[0]
+    # line-level sees the same units here plus no extra dups
+    assert line["n_dup_lines"] == 2
+    sig = R.repetition_signals(df, "doc_id", "text",
+                               line_sep="\n\n").collect()[0]
+    assert sig["dup_line_frac"] == 0.5
