@@ -74,3 +74,25 @@ def test_cc_reliable_checkpoint_matches_local(spark, tmp_path):
                     edges, checkpoint_dir=str(tmp_path / "ck")).collect()}
     assert reliable == local
     assert {c for _, c in local} == {"a", "x", "m"}
+
+
+def test_driver_and_distributed_paths_identical(spark):
+    """The small-graph driver union-find must produce EXACTLY the
+    distributed fixpoint's mapping — on chains, stars, multi-component
+    graphs, strings, and the empty set."""
+    from glean_cetaf_rdfs_spark.operators.cc import connected_components
+
+    cases = [
+        ("long", [(2, 1), (3, 2), (5, 4), (9, 9)],),
+        ("long", [(7, 3), (3, 1), (10, 7), (2, 8)],),
+        ("string", [("b", "a"), ("c", "b"), ("z", "y")],),
+        ("long", [],),
+    ]
+    for typ, pairs in cases:
+        e = spark.createDataFrame(pairs, f"src {typ}, dst {typ}") \
+            if pairs else spark.createDataFrame([], f"src {typ}, dst {typ}")
+        drv = {(r["member"], r["canonical"]) for r in
+               connected_components(e).collect()}
+        dist = {(r["member"], r["canonical"]) for r in
+                connected_components(e, driver_threshold=0).collect()}
+        assert drv == dist, (typ, pairs)
