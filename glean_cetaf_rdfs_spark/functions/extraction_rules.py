@@ -31,7 +31,12 @@ Triple = tuple[str, str, str, bool]
 def ts_literal(ts) -> str:
     """Stable UTC ISO-second literal for either tz-aware or tz-naive-UTC
     timestamps (Spark hands the UDF tz-naive UTC; the generator produces
-    tz-aware)."""
+    tz-aware). A str passes through unchanged — the Arrow extraction
+    stage pre-formats the whole batch vectorized (operators/extract.py)
+    and feeds the literal here; numpy's datetime_as_string output is
+    asserted bit-identical to this function in test_rules_unit."""
+    if isinstance(ts, str):
+        return ts
     if isinstance(ts, dt.datetime):
         if ts.tzinfo is not None:
             ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)

@@ -26,15 +26,43 @@ TRIPLE_SCHEMA = "conv_id string, subj string, pred string, obj string, obj_is_ir
 
 
 def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     for pdf in batches:
-        rows: list[tuple] = []
+        # created-timestamp literals are vectorized per batch: one
+        # numpy datetime64[s] cast + datetime_as_string instead of a
+        # per-row strftime — ts_literal was 30% of the extraction
+        # stage's CPU (round-6 profile), and the numpy ISO form is
+        # bit-identical including the sub-second truncation (asserted
+        # against ts_literal in test_rules_unit)
+        ts = pdf["ts"]
+        if getattr(ts.dtype, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        ts_lit = np.char.add(
+            np.datetime_as_string(ts.to_numpy().astype("datetime64[s]"),
+                                  unit="s"), "Z")
         # itertuples over the Arrow batch: the regex work is the payload;
-        # the loop is per-turn, not per-triple, and stays inside one task
-        for r in pdf.itertuples(index=False):
-            for t in extract_turn_triples(r.conv_id, int(r.turn_idx), r.role,
-                                          r.text, r.tool, r.ts):
-                rows.append((r.conv_id, *t))
-        yield pd.DataFrame(rows, columns=TRIPLE_COLS)
+        # the loop is per-turn, not per-triple, and stays inside one task.
+        # Output accumulates per COLUMN (list-of-tuples + DataFrame(rows)
+        # paid a per-row tuple unpack in the constructor).
+        conv_ids: list = []
+        subjs: list = []
+        preds: list = []
+        objs: list = []
+        iris: list = []
+        for r, tl in zip(pdf.itertuples(index=False), ts_lit):
+            cid = r.conv_id
+            for s, p, o, i in extract_turn_triples(cid, int(r.turn_idx),
+                                                   r.role, r.text, r.tool,
+                                                   tl):
+                conv_ids.append(cid)
+                subjs.append(s)
+                preds.append(p)
+                objs.append(o)
+                iris.append(i)
+        yield pd.DataFrame({"conv_id": conv_ids, "subj": subjs,
+                            "pred": preds, "obj": objs,
+                            "obj_is_iri": iris})
 
 
 def extract_triples(transcripts: DataFrame) -> DataFrame:

@@ -72,6 +72,51 @@ def test_run_level_first_failure_then_success(monkeypatch):
     assert state["pkilled"]  # the hung JVM was cleaned before the retry
 
 
+def test_run_level_budget_capped_by_deadline(monkeypatch):
+    """Round-6 wall-cap fix: a caller deadline bounds the leg watchdog so
+    a hung leg cannot out-live the bench's total budget (BENCH_r05 rc
+    124); without a deadline the sized budget is unchanged."""
+    import time
+
+    seen = []
+
+    def fake_run(cmd, **kw):
+        if cmd and cmd[0] == "pkill":
+            return subprocess.CompletedProcess(cmd, 0)
+        seen.append(kw["timeout"])
+        out = json.dumps({"cores": 2, "n_turns": 1, "n_triples": 1,
+                          "wall_sec": 1.0, "walls": [1.0, 1.0],
+                          "triples_per_sec": 1.0, "turns_per_sec": 1.0})
+        return subprocess.CompletedProcess(cmd, 0, stdout=out, stderr="")
+
+    monkeypatch.setattr(BS.subprocess, "run", fake_run)
+    monkeypatch.setattr(BS, "wait_for_calm", lambda *a, **k: 0.0)
+    BS.run_level(2, 480_000, runs=2, deadline=time.monotonic() + 1000)
+    BS.run_level(2, 480_000, runs=2, deadline=time.monotonic() - 10)
+    BS.run_level(2, 480_000, runs=2)
+    assert 990 <= seen[0] <= 1000      # capped to remaining time
+    assert seen[1] == 300              # floor: near-deadline attempt
+    assert seen[2] == 6000             # no deadline → sized budget
+
+
+def test_effective_convs_cap(monkeypatch):
+    assert BS.effective_convs(480_000) == BS.SCALING_CONVS_CAP
+    assert BS.effective_convs(100_000) == 100_000
+
+
+def test_wait_for_calm_respects_total_budget(monkeypatch):
+    """The calm gate's TOTAL wall across calls is bounded: with the
+    budget exhausted it samples once and returns instead of blocking."""
+    import time
+
+    monkeypatch.setattr(BS, "host_busy_fraction", lambda *a, **k: 0.99)
+    monkeypatch.setattr(BS, "_CALM_BUDGET", [0.0])
+    t0 = time.monotonic()
+    busy = BS.wait_for_calm(max_wait_s=600.0)
+    assert time.monotonic() - t0 < 5
+    assert busy == 0.99
+
+
 def test_timed_action_cancels_wedged_query(spark):
     """The job-group watchdog must interrupt a stuck Python stage (the
     worker-death hang surrogate: a worker sleeping far past the budget)

@@ -218,3 +218,39 @@ def test_canonicalize_col_parity_property(spark):
             assert r["c"] == canonicalize_py(r["u"]), repr(r["u"])
 
     check()
+
+
+def test_ts_literal_vectorized_parity():
+    """The Arrow extraction stage pre-formats created-timestamps with
+    numpy (datetime64[s] cast + datetime_as_string — round-6: per-row
+    strftime was 30% of extraction CPU); the vectorized form must be
+    bit-identical to ts_literal for tz-aware, tz-naive, and sub-second
+    inputs, and ts_literal must pass a pre-formatted string through."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from glean_cetaf_rdfs_spark.functions.extraction_rules import ts_literal
+
+    stamps = [
+        pd.Timestamp("2024-01-01 10:20:30"),
+        pd.Timestamp("2024-01-01 10:20:30.999999"),   # truncation, not rounding
+        pd.Timestamp("1999-12-31 23:59:59.5"),
+        pd.Timestamp("2024-06-30 00:00:00"),
+    ]
+    for tz in (None, "UTC"):
+        s = pd.Series(stamps)
+        if tz:
+            s = s.dt.tz_localize("UTC")
+            naive = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        else:
+            naive = s
+        vec = np.char.add(
+            np.datetime_as_string(naive.to_numpy().astype("datetime64[s]"),
+                                  unit="s"), "Z")
+        assert list(vec) == [ts_literal(t) for t in s]
+    # datetime (oracle path) agrees too, and strings pass through
+    d = dt.datetime(2024, 3, 4, 5, 6, 7, tzinfo=dt.timezone.utc)
+    assert ts_literal(d) == "2024-03-04T05:06:07Z"
+    assert ts_literal("2024-03-04T05:06:07Z") == "2024-03-04T05:06:07Z"

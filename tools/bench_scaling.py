@@ -17,11 +17,37 @@ Writes JSON to stdout (one line); BENCH.md records the curated results.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+
+# Leg-size cap (round-6): bench.py passes 480k convs, raised in round 5
+# after a noisy round-4 driver run — but at 480k the full bench (headline
+# + scaling) no longer fits the driver's 3600 s wall cap (BENCH_r05.json:
+# rc 124 at wall 3601 s, final result line never printed — the scaling
+# gate went unevidenced two rounds running). The calm-host gate and the
+# per-leg consistency batching now do the noise rejection that motivated
+# 480k, and BENCH.md records 320k legs measuring 0.82-0.94 consistently
+# once the heap was pinned, so the cap restores the artifact without
+# giving up measurement quality. Override with SPARK_GRAFT_SCALING_CONVS_CAP.
+SCALING_CONVS_CAP = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS_CAP",
+                                       "320000"))
+
+# Total wall budget for the whole scaling measurement (gen + calm waits +
+# all leg batches). Sized so headline (≤~650 s incl. its own calm wait)
+# + scaling fits the 3600 s cap with margin even when one leg re-batches
+# once for consistency. Override with SPARK_GRAFT_SCALING_BUDGET.
+SCALING_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET",
+                                        "1900"))
+
+# Calm-host waits are capped in TOTAL across the subprocess (round-5
+# worst case: up to 600 s per leg attempt × 4+ attempts = the wall cap
+# gone before any measurement). The gate still rejects sustained noise;
+# it just cannot eat the budget.
+_CALM_BUDGET = [float(os.environ.get("SPARK_GRAFT_CALM_BUDGET", "240"))]
 
 CHILD = r"""
 import hashlib, json, os, sys, time
@@ -69,6 +95,12 @@ print(json.dumps({{"cores": cores, "n_turns": n_turns, "n_triples": n_triples,
 """
 
 
+def effective_convs(requested: int) -> int:
+    """Leg size actually measured: the caller's request bounded by
+    ``SCALING_CONVS_CAP`` (see the cap's comment — the wall-cap fix)."""
+    return min(requested, SCALING_CONVS_CAP)
+
+
 def host_busy_fraction(settle_s: float = 3.0) -> float:
     """Fraction of host CPU time spent non-idle over a short window
     (/proc/stat deltas). With no leg running, a calm host reads ~0."""
@@ -92,19 +124,25 @@ def wait_for_calm(max_wait_s: float = 600.0, busy_thresh: float = 0.20) -> float
     """Block until the host looks idle (nothing of ours runs between
     legs, so sustained busy = noisy neighbor — the exact condition that
     inflated every high-leg wall in the round-4 driver artifact). Gives
-    up after ``max_wait_s`` and lets the leg run anyway; returns the
-    last observed busy fraction so the artifact records the conditions."""
+    up after ``max_wait_s`` — additionally bounded by the process-wide
+    ``_CALM_BUDGET`` so repeated waits cannot consume the bench's wall
+    cap (the round-5 rc-124 failure mode) — and lets the leg run anyway;
+    returns the last observed busy fraction so the artifact records the
+    conditions."""
     import time
 
-    deadline = time.monotonic() + max_wait_s
+    t0 = time.monotonic()
+    deadline = t0 + min(max_wait_s, max(_CALM_BUDGET[0], 0.0))
     busy = host_busy_fraction()
     while busy > busy_thresh and time.monotonic() < deadline:
         time.sleep(10)
         busy = host_busy_fraction()
+    _CALM_BUDGET[0] -= time.monotonic() - t0
     return round(busy, 3)
 
 
-def run_level(cores: int, n_convs: int, runs: int = 2) -> dict:
+def run_level(cores: int, n_convs: int, runs: int = 2,
+              deadline: float | None = None) -> dict:
     """One leg in a fresh subprocess, with a leg-sized watchdog and ONE
     retry: a died-mid-stream Python worker leaves the JVM parked on the
     worker socket forever (observed: task epoll-waiting in
@@ -113,11 +151,18 @@ def run_level(cores: int, n_convs: int, runs: int = 2) -> dict:
     sized to the leg (generous 3× margin over the worst observed
     per-run wall scaled by n_convs) instead of one flat hour, so a hang
     costs minutes, not the whole bench budget."""
+    import time
+
     per_run = (900 if cores <= 2 else 400) * max(n_convs, 1) / 480_000
     budget = int(600 + 3 * runs * per_run)  # input gen/read + runs
     code = CHILD.format(repo=str(REPO), cores=cores, n_convs=n_convs, runs=runs)
     last_err: Exception | None = None
     for _attempt in range(2):
+        if deadline is not None:
+            # a hung leg may not out-live the caller's overall budget:
+            # cap the watchdog at the remaining time (floor keeps a
+            # near-deadline attempt from being stillborn)
+            budget = int(max(300, min(budget, deadline - time.monotonic())))
         busy = wait_for_calm()
         try:
             out = subprocess.run([sys.executable, "-c", code],
@@ -158,11 +203,16 @@ def measure_leg(cores: int, n_convs: int, runs: int,
     caller's deadline."""
     import time
 
-    m = run_level(cores, n_convs, runs)
+    m = run_level(cores, n_convs, runs, deadline=deadline)
     batches = 1
+    # a re-batch costs ≥2 more runs of this leg's observed wall: only
+    # spend it when that much budget actually remains (the round-5
+    # deadline check gated on "any time left", which let a re-batch
+    # start at T-minus-nothing and blow the bench's wall cap)
     while (not _consistent(m["walls"]) and batches < max_batches
-           and time.monotonic() < deadline):
-        m = _merge(m, run_level(cores, n_convs, max(2, runs // 2)))
+           and time.monotonic() + 2.5 * min(m["walls"]) < deadline):
+        m = _merge(m, run_level(cores, n_convs, max(2, runs // 2),
+                                deadline=deadline))
         batches += 1
     return m
 
@@ -207,7 +257,10 @@ def main() -> None:
     # at 0.777 under a sustained noisy neighbor → default raised to
     # 480k (bench.py passes it explicitly) plus the calm-host gate and
     # per-leg consistency batching above.
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 480000
+    # the argv size is treated as an upper bound and capped (round 6):
+    # bench.py (frozen for measurement) passes 480k, which made the full
+    # bench overrun the driver's wall cap — see SCALING_CONVS_CAP above
+    n_convs = effective_convs(int(sys.argv[1]) if len(sys.argv) > 1 else 480000)
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     # first full-size run in a JVM is up to ~2x slower even after the
     # small warm run (measured; JIT of full-size paths) → every leg is
@@ -223,7 +276,11 @@ def main() -> None:
     import time
 
     t_start = time.monotonic()
-    deadline = t_start + 5000  # fits bench.py's 7200 s subprocess budget
+    # the TOTAL budget (round 6): sized so headline + scaling fit the
+    # driver's 3600 s per-invocation cap — the r5 run died at 3601 s
+    # with the final line unprinted; 5000 s here only fit bench.py's own
+    # 7200 s subprocess watchdog, not the cap that actually applies
+    deadline = t_start + SCALING_BUDGET_S
     lo = measure_leg(n, n_convs, runs_lo, deadline)
     hi = measure_leg(4 * n, n_convs, runs_hi, deadline)
     eff = round(hi["triples_per_sec"] / lo["triples_per_sec"] / 4, 3)
