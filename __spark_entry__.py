@@ -133,7 +133,12 @@ def _contract() -> dict[str, tuple[Callable, str | None]]:
         full.pop(name)
     ordered = {name: full.pop(name) for name in _CONTRACT_FIRST}
     ordered.update(full)
-    assert len(ordered) <= _CONTRACT_CAP, len(ordered)
+    if len(ordered) > _CONTRACT_CAP:  # not assert: stripped under -O,
+        # and silently exceeding the cap re-creates the r04 failure
+        # (the driver grades only the first 50, dropping the tail)
+        raise RuntimeError(
+            f"driver contract has {len(ordered)} entries > cap "
+            f"{_CONTRACT_CAP}; fold or drop queries (see CONTRACT_FOLDS)")
     return ordered
 
 

@@ -47,11 +47,21 @@ def pack_greedy_py(counts: list[int], budget: int) -> list[int]:
 
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
                    strata_col: str, budget: int = 2048,
-                   n_shards: int = 1) -> DataFrame:
+                   n_shards: int = 1,
+                   carry_tokens: bool = False) -> DataFrame:
     """→ (id, stratum, pack_id, pack_pos): greedy packing of each
     stratum's docs (id order) into packs of ≤ ``budget`` tokens.
     ``n_shards`` > 1 splits big strata into deterministic hash shards
-    that pack independently (see module docstring)."""
+    that pack independently (see module docstring).
+
+    ``carry_tokens=True`` appends the input token count as ``n_tokens``
+    so downstream fill accounting can aggregate the packing OUTPUT
+    directly instead of re-joining the token table — without it the q53
+    shape re-executed the (Python) token-count stage per consumer: the
+    count plan fed both the packing input and the fill join, and Spark
+    materializes common subplans per action, not per plan (the round-6
+    before-plan shows MapInPandas ×3 / FlatMapGroupsInPandas ×2 for one
+    query)."""
     base = df.select(F.col(id_col).alias("id"),
                      F.col(strata_col).alias("stratum"),
                      F.col(tokens_col).alias("_n"))
@@ -80,13 +90,18 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
         for p in packs:
             pos.append(seen.get(p, 0))
             seen[p] = pos[-1] + 1
-        return pd.DataFrame({
+        out = {
             "id": pdf["id"],
             "stratum": pdf["stratum"],
             "pack_id": [f"{stratum}/{shard}/{p}" for p in packs],
             "pack_pos": pos,
-        })
+        }
+        if carry_tokens:
+            out["n_tokens"] = pdf["_n"]
+        return pd.DataFrame(out)
 
+    schema = "id long, stratum string, pack_id string, pack_pos int"
+    if carry_tokens:
+        schema += ", n_tokens long"
     return (base.groupBy("stratum", "_shard")
-            .applyInPandas(run, schema="id long, stratum string, "
-                                       "pack_id string, pack_pos int"))
+            .applyInPandas(run, schema=schema))

@@ -85,6 +85,12 @@ def line_repetition(df: DataFrame, id_col: str, text_col: str,
     in the SAME document. Char counts use trimmed lengths, one
     contribution per occurrence.
 
+    ``sep`` is a REGEX (it feeds ``F.split``): ``"\\n"`` and
+    ``"\\n\\n"`` mean what they look like, but a literal separator
+    containing metacharacters (``|``, ``.``) must be escaped by the
+    caller (``re.escape``), and the DuckDB oracle parity
+    (string_split_regex) holds for the regex interpretation.
+
     Pass ``sep="\\n\\n"`` for the paragraph-level variant (Gopher runs
     both; the operator is the same counting plan on a coarser unit).
 

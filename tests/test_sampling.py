@@ -216,3 +216,38 @@ def test_learn_bpe_merges_spark_deterministic_and_effective(spark):
     assert base[0] == len("aaab aaab aaab")  # char fallback
     assert learned[0] == 5                   # 3 words + 2 spaces
     assert all(learned[i] <= base[i] for i in learned)
+
+
+def test_pack_sequences_carry_tokens(spark):
+    """carry_tokens=True appends the input count as n_tokens (round-6:
+    lets fill accounting aggregate the packing output instead of
+    re-joining — and re-executing — the token-count stage) without
+    changing the packing decisions."""
+    from pyspark.sql import functions as F
+
+    from glean_cetaf_rdfs_spark.operators.packing import pack_sequences
+
+    rows = [(i, "s0" if i % 2 else "s1", 50 + (i * 37) % 150)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    plain = pack_sequences(df, "doc_id", "n", "source", budget=256,
+                           n_shards=4).collect()
+    carried = pack_sequences(df, "doc_id", "n", "source", budget=256,
+                             n_shards=4, carry_tokens=True)
+    assert "n_tokens" in carried.columns
+    got = carried.collect()
+    assert ({(r["id"], r["stratum"], r["pack_id"], r["pack_pos"]) for r in plain}
+            == {(r["id"], r["stratum"], r["pack_id"], r["pack_pos"]) for r in got})
+    n_by_id = {r[0]: r[2] for r in rows}
+    assert all(r["n_tokens"] == n_by_id[r["id"]] for r in got)
+    # fill accounting off the carried column matches the join-back form
+    fills_carried = {(r["stratum"], r["pack_id"]): r["f"] for r in
+                     carried.groupBy("stratum", "pack_id")
+                     .agg(F.sum("n_tokens").alias("f")).collect()}
+    packed_df = pack_sequences(df, "doc_id", "n", "source", budget=256,
+                               n_shards=4)
+    fills_joined = {(r["stratum"], r["pack_id"]): r["f"] for r in
+                    packed_df.join(df.withColumnRenamed("doc_id", "id"), "id")
+                    .groupBy("stratum", "pack_id")
+                    .agg(F.sum("n").alias("f")).collect()}
+    assert fills_carried == fills_joined
