@@ -29,10 +29,20 @@ def assign_graph(triples: DataFrame) -> DataFrame:
 
 
 def finalize_triples(triples: DataFrame) -> DataFrame:
-    """(subj,pred,obj,obj_is_iri)* → deduped (graph,subj,pred,obj,obj_is_iri)."""
-    return (assign_graph(triples)
-            .select(*FINAL_COLS)
-            .dropDuplicates(["graph", "subj", "pred", "obj"]))
+    """(subj,pred,obj,obj_is_iri)* → deduped (graph,subj,pred,obj,obj_is_iri).
+
+    ``graph`` is a pure function of ``subj`` (host prefix), so the
+    dedupe keys on (subj, pred, obj) alone and the graph column is
+    derived AFTER the exchange (round 6): the pipeline's one wide
+    shuffle carries one fewer string column (~25 bytes/row — a quarter
+    of its payload at 60M triples) and the domain-extraction
+    expressions run on the deduped survivors instead of the full
+    pre-dedupe union. Identical row set: (subj,pred,obj) duplicates
+    and (graph,subj,pred,obj) duplicates are the same partition of the
+    union because graph adds no distinguishing information."""
+    deduped = (triples.select("subj", "pred", "obj", "obj_is_iri")
+               .dropDuplicates(["subj", "pred", "obj"]))
+    return assign_graph(deduped).select(*FINAL_COLS)
 
 
 def write_graph_table(final: DataFrame, path: str, mode: str = "overwrite",

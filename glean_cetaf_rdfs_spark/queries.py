@@ -315,8 +315,13 @@ def q16_sessionize(spark, sf_dir):
     a 30-minute inactivity gap — lag + cumulative sum."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
-    return (ev.withColumn("new_sess", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0))
+    # one named lag column: two inline F.lag(...).over(w) references
+    # produce two identical window expressions (_we0/_we1) — Catalyst
+    # does not dedupe them (round-6 plan audit)
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp("_prev")) > 1800
+    return (ev.withColumn("_prev", F.lag("ts").over(w))
+            .withColumn("new_sess",
+                        F.when(gap | F.col("_prev").isNull(), 1).otherwise(0))
             .groupBy("user_id").agg(F.sum("new_sess").cast("long").alias("n_sessions"))
             .orderBy("user_id"))
 
