@@ -194,9 +194,4 @@ def transcripts_df(spark, n_convs: int, partitions: int | None = None):
             o["turn_idx"] = o["turn_idx"].astype("int32")
             yield o
 
-    df = base.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
-    # size hint for scale-adaptive consumers (plans/pipeline.build_triples
-    # "auto" mode): the generator KNOWS its conversation count, file inputs
-    # don't carry the attribute and take the at-scale default
-    df._gen_n_convs = n_convs
-    return df
+    return base.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)

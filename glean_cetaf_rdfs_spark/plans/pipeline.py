@@ -37,7 +37,6 @@ from ..operators.materialize import finalize_triples
 
 _BUILD_SEQ = iter(range(1, 1 << 31))
 _PRIOR_BUILDS: dict[str, list[str]] = {}
-_PRIOR_PERSISTED: list[DataFrame] = []
 
 
 def _stage_scratch(spark: SparkSession, temp_dir: str | None,
@@ -72,18 +71,8 @@ def _stage_scratch(spark: SparkSession, temp_dir: str | None,
     return path
 
 
-# "auto" stage-materialization threshold: Dataset persist beats the
-# scratch-parquet stage while the annotated stage fits comfortably in
-# BlockManager memory, and collapses under 32-thread cache contention
-# beyond it (round-6 A/B at local[32]: 2500 convs 5.6→2.5 s,
-# 20k convs 5.5→3.7 s, 80k convs 11→21+ s) — same shape as round 1's
-# at-scale measurement that picked parquet. Conversations, not rows:
-# the hint rides the deterministic generator (data/synthetic.py).
-AUTO_PERSIST_MAX_CONVS = 25_000
-
-
 def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None,
-                  intermediate: str = "auto",
+                  intermediate: str = "parquet",
                   temp_dir: str | None = None,
                   metrics: dict | None = None) -> DataFrame:
     """Plan for the final deduped (graph, subj, pred, obj, obj_is_iri).
@@ -104,13 +93,6 @@ def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None,
       at 310k-turn scale).
     * ``intermediate="persist"``: Dataset cache (MEMORY_AND_DISK).
     * ``intermediate="none"``: fully lazy — recomputed per branch.
-    * ``intermediate="auto"`` (default): ``persist`` when the input is a
-      generated transcript frame declaring ≤ ``AUTO_PERSIST_MAX_CONVS``
-      conversations (the ``_gen_n_convs`` hint), else ``parquet`` — the
-      cc.py-style scale-adaptive split: at bench scale the scratch
-      write/read jobs dominate a stage that fits in memory, at leg/corpus
-      scale the cache serializes under task contention (measured both
-      ways, see AUTO_PERSIST_MAX_CONVS).
 
     Scratch retention (parquet mode): the process keeps only the CURRENT
     and the IMMEDIATELY PREVIOUS build's stage directories — starting a
@@ -120,10 +102,6 @@ def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None,
     builds, or pass a per-build ``temp_dir`` to opt out of the shared
     rotation.
     """
-    if intermediate == "auto":
-        hint = getattr(transcripts, "_gen_n_convs", None)
-        intermediate = ("persist" if hint is not None
-                        and hint <= AUTO_PERSIST_MAX_CONVS else "parquet")
     annotated = annotate_canonical(extract_triples(transcripts))
     if metrics is not None:
         # validation-gate accounting (validateRDFs.sh:177-205 warn/error
@@ -145,12 +123,6 @@ def build_triples(transcripts: DataFrame, dict_df: DataFrame | None = None,
         from pyspark.storagelevel import StorageLevel
 
         annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
-        # same two-build retention as the parquet rotation: keep the
-        # current and immediately-previous stage caches, release older
-        # ones (repeated bench runs would otherwise stack LRU pressure)
-        _PRIOR_PERSISTED.append(annotated)
-        while len(_PRIOR_PERSISTED) > 2:
-            _PRIOR_PERSISTED.pop(0).unpersist()
     elif intermediate == "parquet":
         import os
 

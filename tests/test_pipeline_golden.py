@@ -67,32 +67,3 @@ def test_output_deduped_and_graph_consistent(spark, tiny_df):
     ).count()
     assert bad == 0
     final.unpersist()
-
-
-def test_auto_stage_mode_scale_adaptive(spark):
-    """Round-6: intermediate="auto" persists the stage for small
-    generated inputs (the _gen_n_convs hint) and falls back to the
-    scratch-parquet stage for unhinted inputs (file scans), producing
-    identical triples either way."""
-    from glean_cetaf_rdfs_spark.data.synthetic import transcripts_df
-    from glean_cetaf_rdfs_spark.plans import pipeline as P
-
-    t = transcripts_df(spark, 30)
-    assert t._gen_n_convs == 30
-    auto = {tuple(r) for r in P.build_triples(t).collect()}
-    parquet = {tuple(r) for r in
-               P.build_triples(transcripts_df(spark, 30),
-                               intermediate="parquet").collect()}
-    assert auto == parquet
-    # an unhinted frame (simulating a file read) takes the parquet path:
-    # the stage scratch dir gains a new build subdir
-    import os
-
-    from glean_cetaf_rdfs_spark.session import app_scratch_path
-
-    base = app_scratch_path(spark, "kg_canon")
-    before = set(os.listdir(base)) if os.path.isdir(base) else set()
-    unhinted = t.sparkSession.createDataFrame(t.collect(), schema=t.schema)
-    P.build_triples(unhinted).count()
-    after = set(os.listdir(base))
-    assert len(after - before) == 1
