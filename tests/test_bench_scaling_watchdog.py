@@ -145,3 +145,34 @@ def test_timed_action_passthrough(spark):
 
     out = B.timed_collect(spark, spark.range(3), 60.0, "ok")
     assert len(out) == 3
+
+
+def test_main_soft_fails_with_partial_evidence(monkeypatch, capsys):
+    """Round-6: a died/overrun leg yields a parseable result line with
+    pass=false and the error recorded — never a nonzero exit that erases
+    the completed leg's evidence (the first in-bench validation lost its
+    whole scaling block to one starved leg)."""
+    import sys
+
+    lo = {"cores": 2, "n_turns": 1, "n_triples": 10, "wall_sec": 1.0,
+          "walls": [1.0, 1.0], "triples_per_sec": 10.0,
+          "turns_per_sec": 1.0}
+
+    def fake_measure(cores, n_convs, runs, deadline, **kw):
+        if cores == 2:
+            return dict(lo)
+        raise subprocess.TimeoutExpired(["leg"], 42)
+
+    monkeypatch.setattr(BS, "measure_leg", fake_measure)
+    monkeypatch.setattr(BS.subprocess, "run",
+                        lambda *a, **k: subprocess.CompletedProcess(a, 0))
+    monkeypatch.setattr(sys, "argv", ["bench_scaling.py", "480000", "2", "2", "4"])
+    BS.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(out)
+    assert res["pass"] is False and res["scaling_efficiency"] is None
+    assert res["low"]["triples_per_sec"] == 10.0
+    assert res["high"] == {"cores": 8, "wall_sec": None,
+                           "triples_per_sec": None, "walls": []}
+    assert "TimeoutExpired" in res["error"]
+    assert res["n_convs"] == BS.SCALING_CONVS_CAP
