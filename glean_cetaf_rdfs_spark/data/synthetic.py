@@ -47,6 +47,17 @@ TRANSCRIPT_SCHEMA = ("conv_id string, turn_idx int, role string, "
                      "text string, tool string, ts timestamp")
 
 
+def _pick(rng: np.random.RandomState, options: list[str]) -> str:
+    """``rng.choice(options)`` minus numpy's array-coercion overhead:
+    for a 1-D list with default args, RandomState.choice draws exactly
+    ``self.randint(0, len(a))`` and indexes — this does the same two
+    steps directly, so the RNG state stream and every produced value
+    are bit-identical to the ``choice`` form (fixture-hash asserted in
+    test_rules_unit) at a fraction of the per-call cost (choice paid
+    np.prod/seterr validation per draw — ~20% of generator CPU)."""
+    return options[rng.randint(len(options))]
+
+
 def _mk_url(rng: np.random.RandomState) -> str:
     """One mention URL, with alias/dirt variants at fixed probabilities."""
     p = rng.rand()
@@ -67,22 +78,22 @@ def _mk_url(rng: np.random.RandomState) -> str:
         return f"http://tun.example/specimen/{rng.randint(100000)}"
     if p < 0.64:  # wikidata entity, 8 alias spellings (P17, JACQ.sh:362)
         q = rng.randint(1, 20000)
-        host = rng.choice(["www.wikidata.org", "m.wikidata.org"])
-        path = rng.choice(["wiki", "entity"])
-        scheme = rng.choice(["http", "https"])
+        host = _pick(rng, ["www.wikidata.org", "m.wikidata.org"])
+        path = _pick(rng, ["wiki", "entity"])
+        scheme = _pick(rng, ["http", "https"])
         return f"{scheme}://{host}/{path}/Q{q}"
     if p < 0.72:  # VIAF with trailing path (P18, JACQ.sh:367)
         v = rng.randint(100000, 999999)
-        suffix = rng.choice(["", "/", "/#entity", "/rdf.xml"])
+        suffix = _pick(rng, ["", "/", "/#entity", "/rdf.xml"])
         return f"http://viaf.org/viaf/{v}{suffix}"
     if p < 0.80:  # https→http scheme-canonical domains (P18)
         dom = ["ipni.example", "purl.example", "isni.example"][rng.randint(3)]
         return f"https://{dom}/id/{rng.randint(100000)}"
     if p < 0.86:  # technical URL — subject dropped (P5, Finland.sh:422-428)
-        fmt = rng.choice(["JSONLD", "RDFXML", "TTL"])
+        fmt = _pick(rng, ["JSONLD", "RDFXML", "TTL"])
         return f"http://tun.example/specimen/{rng.randint(100000)}?format={fmt}"
     if p < 0.90:  # illegal IRI chars, bracket-quoted (P9, fixRDF:368-384)
-        bad = rng.choice([" ", "^", "`", "\\", "[", "]"])
+        bad = _pick(rng, [" ", "^", "`", "\\", "[", "]"])
         return f"<http://dirty.example/a{bad}b/{rng.randint(1000)}>"
     if p < 0.93:  # doubled-URI data bug (P12, fixRDF:408-409)
         u = f"http://dup.example/r/{rng.randint(1000)}"
@@ -111,13 +122,13 @@ def _mk_text(rng: np.random.RandomState, role: str, tool: str | None) -> str:
     if rng.rand() < 0.10:  # collector back-link (G4 trigger — JACQ.sh:446-447)
         if rng.rand() < 0.5:
             q = rng.randint(1, 20000)
-            host = rng.choice(["www.wikidata.org", "m.wikidata.org"])
-            path = rng.choice(["wiki", "entity"])
-            scheme = rng.choice(["http", "https"])
+            host = _pick(rng, ["www.wikidata.org", "m.wikidata.org"])
+            path = _pick(rng, ["wiki", "entity"])
+            scheme = _pick(rng, ["http", "https"])
             parts.append(f"recordedby={scheme}://{host}/{path}/Q{q}")
         else:
             v = rng.randint(100000, 999999)
-            suffix = rng.choice(["", "/#entity"])
+            suffix = _pick(rng, ["", "/#entity"])
             parts.append(f"recordedby=http://viaf.org/viaf/{v}{suffix}")
     if rng.rand() < 0.08:  # associatedMedia quoted literal (P19 retype)
         port = ":443" if rng.rand() < 0.25 else ""

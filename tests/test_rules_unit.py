@@ -254,3 +254,23 @@ def test_ts_literal_vectorized_parity():
     d = dt.datetime(2024, 3, 4, 5, 6, 7, tzinfo=dt.timezone.utc)
     assert ts_literal(d) == "2024-03-04T05:06:07Z"
     assert ts_literal("2024-03-04T05:06:07Z") == "2024-03-04T05:06:07Z"
+
+
+def test_generator_fixture_hash_frozen():
+    """Drift guard for the synthetic-transcript fixture: the generator's
+    byte stream IS the contract (frozen q32 oracle VALUES, golden tests,
+    and the scaling legs all assume it). Round 6 replaced rng.choice with
+    the state-identical _pick indexing form; this hash pins every column
+    of the first 300 conversations so any future edit that shifts the
+    RNG call sequence (or formatting) fails loudly here instead of as an
+    oracle mismatch."""
+    import hashlib
+
+    from glean_cetaf_rdfs_spark.data.synthetic import transcripts_pdf
+
+    pdf = transcripts_pdf(300)
+    h = hashlib.md5()
+    for c in pdf.columns:
+        h.update("\x01".join(map(str, pdf[c].tolist())).encode())
+    assert len(pdf) == 4313
+    assert h.hexdigest() == "38dffb56ff9a7a3d98e72bdc5039f893"
