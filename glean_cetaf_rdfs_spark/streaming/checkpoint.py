@@ -109,10 +109,19 @@ def compact_buckets(spark: SparkSession, bucketed_path: str,
     ``dropDuplicates(graph,subj,pred,obj)`` over the unified bucketed
     output, rewritten as a flat graph table — restores the one-shot
     path's row-uniqueness invariant (entity-level enrichment triples can
-    be physically duplicated across ``bucket=K`` partitions)."""
-    from ..operators.materialize import write_graph_table
+    be physically duplicated across ``bucket=K`` partitions).
 
-    unified = (spark.read.parquet(bucketed_path).drop("bucket")
-               .dropDuplicates(["graph", "subj", "pred", "obj"]))
+    The dedupe goes through :func:`finalize_triples` (round 6): the
+    stored ``graph`` column is DROPPED before the exchange and re-derived
+    from ``subj`` on the survivors — ``graph`` is the same deterministic
+    host-prefix expression that produced it at bucket-write time, so the
+    output is bit-identical while the compaction's one wide shuffle
+    carries one fewer string column (the same ~quarter-payload narrowing
+    finalize_triples gives the one-shot pipeline)."""
+    from ..operators.materialize import finalize_triples, write_graph_table
+
+    unified = finalize_triples(
+        spark.read.parquet(bucketed_path)
+        .select("subj", "pred", "obj", "obj_is_iri"))
     write_graph_table(unified, final_path)
     return spark.read.parquet(final_path)
