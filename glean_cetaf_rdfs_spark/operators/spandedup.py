@@ -80,20 +80,21 @@ def common_shingles(pos_df: DataFrame, min_docs: int = 2) -> DataFrame:
             .select("sh"))
 
 
-def _covered_indices(df: DataFrame, id_col: str, text_col: str,
-                     k: int, min_docs: int) -> DataFrame:
-    """→ (id, tok_i) with possible duplicates: token indices covered by
-    any common shingle window. The sole consumer aggregates with
-    ``collect_set``, which dedups — a ``distinct()`` here would add a
-    second full shuffle of the k-multiplied exploded rows for no
-    semantic effect."""
+def _common_positions(df: DataFrame, id_col: str, text_col: str,
+                      k: int, min_docs: int) -> DataFrame:
+    """→ (id, _ps): per doc, the list of token positions whose shingle
+    is common. Positions are unique per doc by construction (one
+    shingle_positions row per (id, pos); ``common_shingles`` is
+    distinct), so no dedup is needed. The k-window EXPANSION to covered
+    token indices happens in-row on the aggregated list (round 6): the
+    earlier explode(sequence(pos, pos+k-1)) → collect_set form shuffled
+    k× the hit rows into the per-doc aggregation — this ships one row
+    per hit and lets the consumer expand with a narrow array
+    expression, identical answer (A/B-verified symdiff 0 at sf0.1)."""
     pos = shingle_positions(df, id_col, text_col, k)
     common = common_shingles(pos, min_docs)
     hits = pos.join(common, "sh")
-    return hits.select(
-        "id",
-        F.explode(F.sequence(F.col("pos"),
-                             F.col("pos") + F.lit(k - 1))).alias("tok_i"))
+    return hits.groupBy("id").agg(F.collect_list("pos").alias("_ps"))
 
 
 def repeated_span_stats(df: DataFrame, id_col: str, text_col: str,
@@ -134,16 +135,21 @@ def remove_repeated_spans(df: DataFrame, id_col: str, text_col: str,
                           k: int = 5, min_docs: int = 2) -> DataFrame:
     """The rewrite: drop every token covered by a common shingle window,
     keep the rest in order. → (id, text_clean, n_tokens_removed).
-    Pure built-ins: the removable index set is collected per doc
-    (bounded by doc length) and applied with a positional array filter —
-    no Python stage."""
-    rm = (_covered_indices(df, id_col, text_col, k, min_docs)
-          .groupBy("id").agg(F.collect_set("tok_i").alias("_rm")))
+    Pure built-ins: the common POSITIONS are collected per doc (bounded
+    by doc length), expanded to covered indices with a narrow array
+    expression (``_rm`` may contain duplicates from overlapping
+    windows — harmless: ``array_except`` is set-membership and the
+    removed-count applies ``array_distinct``), and applied with a
+    positional array filter — no Python stage."""
+    rm = _common_positions(df, id_col, text_col, k, min_docs)
+    covered = F.flatten(F.transform(
+        F.col("_ps"), lambda p: F.sequence(p, p + F.lit(k - 1))))
     toks = tokens(F.col(text_col))
     joined = (df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
               .join(rm, "id", "left")
               .withColumn("_rm", F.coalesce(
-                  "_rm", F.array().cast("array<int>"))))
+                  covered, F.array().cast("array<int>")))
+              .drop("_ps"))
     # kept indices via array_except (hash-set membership, O(T + R) per
     # doc) rather than filter(λ i: !array_contains(_rm, i)) — the
     # per-token linear probe is O(T·R), quadratic on boilerplate-heavy
@@ -160,4 +166,4 @@ def remove_repeated_spans(df: DataFrame, id_col: str, text_col: str,
     return joined.select(
         "id",
         F.concat_ws(" ", kept).alias("text_clean"),
-        F.size("_rm").alias("n_tokens_removed"))
+        F.size(F.array_distinct("_rm")).alias("n_tokens_removed"))
