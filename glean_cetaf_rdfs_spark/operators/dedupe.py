@@ -296,12 +296,17 @@ def _banded_sign_buckets(df: DataFrame, id_col: str, vec_col: str,
                          n_planes: int) -> DataFrame:
     """→ (id, band, bucket): per-band sign-LSH bucket strings, computed
     in one Arrow-vectorized pandas stage. Each projection is an exact
-    left-to-right float64 sum (``np.cumsum`` — sequential by definition),
-    so the sign bits are bit-identical to the JVM ``zip_with``/
-    ``aggregate`` fold and DuckDB's ``list_dot_product``: all three
-    engines derive the same buckets. The column-expression form
-    (similarity.lsh_bucket_of) stays the right tool for ≤4-plane probes;
-    at 64 projections its Catalyst/janino cost dominates the query."""
+    left-to-right float64 sum — accumulated dimension-by-dimension over
+    an (n_rows, n_planes) buffer, which adds terms in the same
+    sequential order as ``np.cumsum``/the JVM ``zip_with``/``aggregate``
+    fold/DuckDB's ``list_dot_product`` (bit-identical projections,
+    asserted when this replaced the per-plane cumsum — ~2× less memory
+    traffic than materializing a cumsum matrix per plane; a matmul
+    would be faster still but uses pairwise summation, which rounds
+    differently). All three engines derive the same buckets. The
+    column-expression form (similarity.lsh_bucket_of) stays the right
+    tool for ≤4-plane probes; at 64 projections its Catalyst/janino
+    cost dominates the query."""
     import numpy as np
     import pandas as pd
 
@@ -315,11 +320,12 @@ def _banded_sign_buckets(df: DataFrame, id_col: str, vec_col: str,
                 continue
             x = np.asarray([np.asarray(v, dtype=np.float64)
                             for v in pdf[vec_col]])  # (n, dim)
-            # left-to-right running sum per (row, plane); last col = dot
-            signs = np.empty((len(x), len(w)), dtype=np.uint8)
-            for p in range(len(w)):
-                proj = np.cumsum(x * w[p], axis=1)[:, -1]
-                signs[:, p] = proj > 0
+            # left-to-right running sum per (row, plane), accumulated
+            # one dimension at a time across ALL planes at once
+            acc = np.zeros((len(x), len(w)), dtype=np.float64)
+            for d in range(x.shape[1]):
+                acc += np.outer(x[:, d], w[:, d])
+            signs = (acc > 0).astype(np.uint8)
             chars = np.where(signs, "1", "0")
             ids = pdf[id_col].to_numpy()
             out = {
