@@ -60,12 +60,13 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _cc_driver(e: DataFrame) -> DataFrame:
+def _cc_driver(e: DataFrame, rows=None) -> DataFrame:
     """Exact union-find on a driver-collected edge set — the small-graph
     fast path of :func:`connected_components`. Union-by-min + path
     compression, so every root is its component's minimum (the same
-    canonical the distributed fixpoint produces). One Spark job (the
-    collect) instead of ~4 per star round."""
+    canonical the distributed fixpoint produces). ``rows`` lets the
+    caller hand over edges it already collected (the threshold probe) so
+    the whole fast path costs one Spark job."""
     from pyspark.sql.types import StructField, StructType
 
     spark = e.sparkSession
@@ -82,7 +83,7 @@ def _cc_driver(e: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in e.collect():
+    for row in (e.collect() if rows is None else rows):
         ra, rb = find(row["src"]), find(row["dst"])
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
@@ -102,11 +103,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     fixpoint sed loops get the same bounded-iteration treatment,
     SURVEY.md §7 "fixpoint encoders").
 
-    Scale-adaptive: the deduped edge count is already known from the
-    convergence signature, and when it is ≤ ``driver_threshold`` the
-    components come from an exact driver-side union-find
-    (:func:`_cc_driver` — identical output, one job) instead of the
-    star rounds. Post-blocking candidate graphs are SPARSE — at bench
+    Scale-adaptive: a ``limit(driver_threshold+1)`` probe of the
+    checkpointed edge set decides the path — when it returns ≤
+    ``driver_threshold`` rows those rows ARE the deduped edge set and
+    the components come from an exact driver-side union-find
+    (:func:`_cc_driver` — identical output, one post-checkpoint job)
+    instead of the star rounds. Post-blocking candidate graphs are SPARSE — at bench
     scale the distributed fixpoint spent ~10 fixed-overhead Spark jobs
     resolving a few hundred edges, ~2 s of pure scheduling. 200k edges
     collect in tens of MB; at corpus scale the signature exceeds the
@@ -134,9 +136,17 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         return df.localCheckpoint() if checkpoint_dir is None else df.checkpoint()
 
     e = _ckpt(_dedup(edges))
+    # threshold probe: limit(t+1).collect() over the CHECKPOINTED edge
+    # blocks — when ≤ t rows come back, that IS the whole edge set and
+    # the driver union-find runs on it directly, so the fast path costs
+    # one post-checkpoint job instead of three (the former
+    # signature-aggregate job + a separate full collect). Over-threshold
+    # graphs pay one cheap truncated scan of local blocks, then the
+    # star rounds run exactly as before.
+    probe = e.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        return _cc_driver(e, rows=probe)
     prev = _signature(e)
-    if prev[0] <= driver_threshold:
-        return _cc_driver(e)
     for _ in range(max_iter):
         e = _ckpt(_dedup(_small_star(_large_star(e))))
         sig = _signature(e)
