@@ -92,11 +92,14 @@ def test_run_level_budget_capped_by_deadline(monkeypatch):
     monkeypatch.setattr(BS.subprocess, "run", fake_run)
     monkeypatch.setattr(BS, "wait_for_calm", lambda *a, **k: 0.0)
     BS.run_level(2, 480_000, runs=2, deadline=time.monotonic() + 1000)
-    BS.run_level(2, 480_000, runs=2, deadline=time.monotonic() - 10)
+    # an exhausted budget REFUSES to start an attempt (the former 300 s
+    # floor ran attempts past the deadline — observed +600 s overrun)
+    with pytest.raises(subprocess.TimeoutExpired):
+        BS.run_level(2, 480_000, runs=2, deadline=time.monotonic() - 10)
     BS.run_level(2, 480_000, runs=2)
     assert 990 <= seen[0] <= 1000      # capped to remaining time
-    assert seen[1] == 300              # floor: near-deadline attempt
-    assert seen[2] == 6000             # no deadline → sized budget
+    assert seen[1] == 6000             # no deadline → sized budget
+    assert len(seen) == 2              # exhausted-budget attempt never ran
 
 
 def test_effective_convs_cap(monkeypatch):
@@ -176,3 +179,38 @@ def test_main_soft_fails_with_partial_evidence(monkeypatch, capsys):
                            "triples_per_sec": None, "walls": []}
     assert "TimeoutExpired" in res["error"]
     assert res["n_convs"] == BS.SCALING_CONVS_CAP
+
+
+def test_main_one_leg_death_keeps_other_leg(monkeypatch, capsys):
+    """Round-6 second pass: legs soft-fail INDEPENDENTLY — the high leg
+    dying must not skip the low leg (the old single try block lost
+    whichever leg came after the failure), and the high leg is measured
+    FIRST under a bounded sub-deadline so a re-batching low leg can no
+    longer starve it."""
+    import sys
+    import time
+
+    order = []
+    lo = {"cores": 2, "n_turns": 1, "n_triples": 10, "wall_sec": 1.0,
+          "walls": [1.0, 1.0], "triples_per_sec": 10.0,
+          "turns_per_sec": 1.0}
+
+    def fake_measure(cores, n_convs, runs, deadline, **kw):
+        order.append(cores)
+        if cores == 2:
+            return dict(lo)
+        # the hi sub-deadline is bounded to 40% of the budget
+        assert deadline <= time.monotonic() + 0.4 * BS.SCALING_BUDGET_S + 5
+        raise subprocess.TimeoutExpired(["leg"], 42)
+
+    monkeypatch.setattr(BS, "measure_leg", fake_measure)
+    monkeypatch.setattr(BS.subprocess, "run",
+                        lambda *a, **k: subprocess.CompletedProcess(a, 0))
+    monkeypatch.setattr(sys, "argv", ["bench_scaling.py", "480000", "2", "2", "4"])
+    BS.main()
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert order == [8, 2]  # hi first, lo still measured after hi died
+    assert res["pass"] is False and res["scaling_efficiency"] is None
+    assert res["low"]["triples_per_sec"] == 10.0
+    assert res["high"]["wall_sec"] is None
+    assert "hi TimeoutExpired" in res["error"]

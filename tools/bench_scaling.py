@@ -164,9 +164,18 @@ def run_level(cores: int, n_convs: int, runs: int = 2,
     for _attempt in range(2):
         if deadline is not None:
             # a hung leg may not out-live the caller's overall budget:
-            # cap the watchdog at the remaining time (floor keeps a
-            # near-deadline attempt from being stillborn)
-            budget = int(max(300, min(budget, deadline - time.monotonic())))
+            # cap the watchdog at the remaining time. An attempt with
+            # under 300 s of budget left is not started at all — the
+            # former max(300, remaining) floor let near-deadline
+            # attempts run PAST the deadline (observed: two 300 s
+            # timeouts after the budget was spent, +600 s on a run that
+            # already overran the driver's wall cap)
+            remaining = deadline - time.monotonic()
+            if remaining < 300:
+                raise last_err if last_err is not None else \
+                    subprocess.TimeoutExpired(cmd=f"scaling-leg-{cores}",
+                                              timeout=round(remaining))
+            budget = int(min(budget, remaining))
         busy = wait_for_calm()
         try:
             out = subprocess.run([sys.executable, "-c", code],
@@ -294,25 +303,35 @@ def main() -> None:
               "min-wall per leg, re-batched until the two "
               "smallest walls agree within 5%; interleaved "
               "re-measure of both legs once if under target")
+    # leg ORDER and per-leg budgets (round-6, second pass): the HIGH leg
+    # runs FIRST under a sub-deadline of 40% of the budget. It is ~3.5×
+    # cheaper than the low leg, so it always lands; the expensive low
+    # leg then gets everything that remains. The previous lo-first order
+    # let a noisy window re-batch the low leg into ~2100 s of walls and
+    # starve the high leg entirely (observed: hi TimeoutExpired ×2, the
+    # whole scaling block lost, on a run where the host ran ~2× slow).
+    # Each leg soft-fails INDEPENDENTLY: one leg's death records an
+    # error but never erases the other leg's evidence.
     lo = hi = None
-    err = None
+    errs: list[str] = []
+    try:
+        hi = measure_leg(4 * n, n_convs, runs_hi,
+                         min(deadline, t_start + 0.4 * SCALING_BUDGET_S))
+        print(json.dumps({"detail": "leg_done", "cores": 4 * n,
+                          "walls": hi["walls"],
+                          "t": round(time.monotonic() - t_start, 1)}),
+              file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001 — SOFT-fail, see above
+        errs.append(f"hi {type(e).__name__}: {str(e)[:200]}")
     try:
         lo = measure_leg(n, n_convs, runs_lo, deadline)
         print(json.dumps({"detail": "leg_done", "cores": n,
                           "walls": lo["walls"],
                           "t": round(time.monotonic() - t_start, 1)}),
               file=sys.stderr, flush=True)
-        hi = measure_leg(4 * n, n_convs, runs_hi, deadline)
-        print(json.dumps({"detail": "leg_done", "cores": 4 * n,
-                          "walls": hi["walls"],
-                          "t": round(time.monotonic() - t_start, 1)}),
-              file=sys.stderr, flush=True)
-    except Exception as e:  # noqa: BLE001 — SOFT-fail: a died/overrun leg
-        # must still yield a parseable result line (pass=false, error
-        # recorded) instead of a nonzero exit that erases the evidence
-        # of the leg that DID measure (the bench's final line then
-        # carries a scaling block either way)
-        err = f"{type(e).__name__}: {str(e)[:200]}"
+    except Exception as e:  # noqa: BLE001 — SOFT-fail, see above
+        errs.append(f"lo {type(e).__name__}: {str(e)[:200]}")
+    err = "; ".join(errs) if errs else None
     if lo is not None and hi is not None:
         eff = round(hi["triples_per_sec"] / lo["triples_per_sec"] / 4, 3)
         attempts = 1
