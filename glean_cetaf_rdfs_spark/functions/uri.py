@@ -76,19 +76,30 @@ def _java_repl(repl: str) -> str:
 _P12_PAT = CANON_RULES[0][0]
 _P13_PAT = CANON_RULES[1][0]
 
+# the 8 single-character percent-encoding rules form the chain's tail
+# (CANON_RULES order: 6 alias rules, then the character rules)
+_PCT_START = 6
+# one character class covering EXACTLY the characters those 8 rules
+# rewrite — the dirty-row guard below must stay in sync with CANON_RULES
+_PCT_GUARD = "[ \\^`\\\\\\[\\]]"
+
 
 def canonicalize_col(col: Column) -> Column:
     """The same rule chain as Catalyst expressions (RegExpReplace nodes —
     all inside one WholeStageCodegen span, no shuffle, no Python).
 
-    Two rules get cheaper column forms than a regexp (the reference
-    guards its expensive seds with a grep precheck the same way,
-    fixRDF:368-369): the P12 backreference regex backtracks O(n²) on
-    every non-doubled URL, so it runs only when a second scheme
-    occurrence exists; P13 is a literal substring swap → ``F.replace``.
-    Measured 25% off the whole chain at 2M URLs."""
+    Cheaper column forms where a full regexp pass is avoidable (the
+    reference guards its expensive seds with a grep precheck the same
+    way, fixRDF:368-369): the P12 backreference regex backtracks O(n²)
+    on every non-doubled URL, so it runs only when a second scheme
+    occurrence exists; P13 is a literal substring swap → ``F.replace``
+    (25% off the whole chain at 2M URLs, round 5); and the EIGHT
+    percent-encoding passes run only on rows matching one character-
+    class ``rlike`` — clean rows (the overwhelming majority) pay one
+    scan instead of eight (0.505 → 0.297 s per 2M URLs, round 6,
+    identical output incl. the dirty fixtures)."""
     out = col
-    for pat, repl in CANON_RULES:
+    for pat, repl in CANON_RULES[:_PCT_START]:
         if pat == _P12_PAT:
             fixed = F.regexp_replace(out, pat, _java_repl(repl))
             out = F.when(F.substring(out, 9, 1 << 30).contains("http"),
@@ -97,7 +108,10 @@ def canonicalize_col(col: Column) -> Column:
             out = F.replace(out, F.lit("&amp;"), F.lit("&"))
         else:
             out = F.regexp_replace(out, pat, _java_repl(repl))
-    return out
+    encoded = out
+    for pat, repl in CANON_RULES[_PCT_START:]:
+        encoded = F.regexp_replace(encoded, pat, _java_repl(repl))
+    return F.when(out.rlike(_PCT_GUARD), encoded).otherwise(out)
 
 
 def url_domain_py(url: str) -> str | None:

@@ -274,3 +274,33 @@ def test_generator_fixture_hash_frozen():
         h.update("\x01".join(map(str, pdf[c].tolist())).encode())
     assert len(pdf) == 4313
     assert h.hexdigest() == "38dffb56ff9a7a3d98e72bdc5039f893"
+
+
+def test_canonicalize_guard_covers_every_pct_rule(spark):
+    """Round-6: the percent-encoding tail of canonicalize_col runs behind
+    a one-scan character-class guard; this derives the guarded characters
+    from CANON_RULES itself so adding a rule without extending the guard
+    fails here (a URL dirty in ONLY the new character would silently skip
+    encoding), and proves column/Python parity on per-character fixtures."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from glean_cetaf_rdfs_spark.functions.uri import (
+        _PCT_GUARD, _PCT_START, CANON_RULES, canonicalize_col,
+        canonicalize_py)
+
+    chars = []
+    for pat, _repl in CANON_RULES[_PCT_START:]:
+        ch = re.sub(r"\\(.)", r"\1", pat)   # unescape the single char
+        assert len(ch) == 1, f"non-single-char rule in pct tail: {pat!r}"
+        chars.append(ch)
+        assert re.search(_PCT_GUARD, f"http://x/{ch}y"), \
+            f"guard misses {ch!r} — extend _PCT_GUARD"
+    fixtures = [f"http://g.example/a{ch}b" for ch in chars]
+    fixtures += ["http://clean.example/ok", "https://x.example:443/p q"]
+    df = spark.createDataFrame([(u,) for u in fixtures], "u string")
+    got = [r["c"] for r in
+           df.select(canonicalize_col(F.col("u")).alias("c")).collect()]
+    want = [canonicalize_py(u) for u in fixtures]
+    assert got == want
