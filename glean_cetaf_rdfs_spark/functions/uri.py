@@ -84,6 +84,20 @@ _PCT_START = 6
 _PCT_GUARD = "[ \\^`\\\\\\[\\]]"
 
 
+# substring PRECHECKS for the alias rules, keyed by CANON_RULES index:
+# a guard may fire on rows the regex then declines (":8080" contains
+# ":80" — harmless, the regex still decides), but can NEVER miss a row
+# the regex would rewrite. Each replaces a per-row regex-matcher pass
+# with a codegen'd indexOf for the overwhelmingly common clean rows
+# (chain A/B at 2M URLs: 0.313 → 0.272 s on top of the pct-guard win).
+_ALIAS_GUARDS: dict[int, "object"] = {
+    2: lambda c: c.contains(":443") | c.contains(":80"),  # port strip
+    3: lambda c: c.contains("wikidata.org/"),             # wikidata alias
+    4: lambda c: c.startswith("https://"),                # scheme canon
+    5: lambda c: c.contains("viaf.org/"),                 # VIAF strip
+}
+
+
 def canonicalize_col(col: Column) -> Column:
     """The same rule chain as Catalyst expressions (RegExpReplace nodes —
     all inside one WholeStageCodegen span, no shuffle, no Python).
@@ -99,13 +113,18 @@ def canonicalize_col(col: Column) -> Column:
     scan instead of eight (0.505 → 0.297 s per 2M URLs, round 6,
     identical output incl. the dirty fixtures)."""
     out = col
-    for pat, repl in CANON_RULES[:_PCT_START]:
+    for i, (pat, repl) in enumerate(CANON_RULES[:_PCT_START]):
+        guard = _ALIAS_GUARDS.get(i)
         if pat == _P12_PAT:
             fixed = F.regexp_replace(out, pat, _java_repl(repl))
             out = F.when(F.substring(out, 9, 1 << 30).contains("http"),
                          fixed).otherwise(out)
         elif pat == _P13_PAT:
             out = F.replace(out, F.lit("&amp;"), F.lit("&"))
+        elif guard is not None:
+            out = F.when(guard(out),
+                         F.regexp_replace(out, pat, _java_repl(repl))
+                         ).otherwise(out)
         else:
             out = F.regexp_replace(out, pat, _java_repl(repl))
     encoded = out

@@ -44,9 +44,13 @@ def annotate_canonical(raw: DataFrame) -> DataFrame:
         F.when(F.col("obj_is_iri"), canonicalize_col(F.col("obj"))).otherwise(F.col("obj")),
     ).withColumn(
         # P5 flag precomputed here for the same reason — every downstream
-        # branch filters on it; one rlike instead of one per branch
+        # branch filters on it. The regex [?&]format= is EXACTLY two
+        # literal substrings, so two codegen'd contains replace the
+        # regex-matcher pass (round 6: 0.084 → 0.064 s per 2M URLs,
+        # identical truth table; TECHNICAL_URL stays the documented rule)
         "is_technical",
-        F.col("obj_is_iri") & F.col("obj_canon").rlike(TECHNICAL_URL),
+        F.col("obj_is_iri") & (F.col("obj_canon").contains("?format=")
+                               | F.col("obj_canon").contains("&format=")),
     )
 
 

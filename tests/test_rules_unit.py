@@ -304,3 +304,49 @@ def test_canonicalize_guard_covers_every_pct_rule(spark):
            df.select(canonicalize_col(F.col("u")).alias("c")).collect()]
     want = [canonicalize_py(u) for u in fixtures]
     assert got == want
+
+
+def test_canonicalize_alias_guards_parity(spark):
+    """Round-6: the alias rules run behind substring prechecks; parity
+    fixtures cover every guarded rule firing, plus lookalikes where the
+    guard fires but the regex correctly declines (:8080 contains :80)."""
+    from pyspark.sql import functions as F
+
+    from glean_cetaf_rdfs_spark.functions.uri import (
+        canonicalize_col, canonicalize_py)
+
+    fixtures = [
+        "https://pi.herbaria.example:443/spec/1",     # port strip fires
+        "http://pi.herbaria.example:80/spec/2",
+        "http://x.example:8080/p",                    # guard yes, regex no
+        "http://x.example/p:80x",                     # ditto (not a port)
+        "https://m.wikidata.org/wiki/Q7",             # wikidata alias
+        "http://notwikidata.org/wiki/Q7",             # guard no
+        "http://x.example/see?u=wikidata.org/wiki/Q1",  # guard yes, regex no
+        "https://ipni.example/id/5",                  # scheme canon fires
+        "https://other.example/id/5",                 # guard yes, regex no
+        "http://viaf.org/viaf/123456/#entity",        # viaf strip fires
+        "http://viaf.org/viaf/123456",                # no trailing path
+        "http://x.example/ref=viaf.org/xyz",          # guard yes, regex no
+        "http://clean.example/nothing",
+    ]
+    df = spark.createDataFrame([(u,) for u in fixtures], "u string")
+    got = [r["c"] for r in
+           df.select(canonicalize_col(F.col("u")).alias("c")).collect()]
+    want = [canonicalize_py(u) for u in fixtures]
+    assert got == want
+
+
+def test_is_technical_contains_matches_regex():
+    """The two-contains form of the P5 technical-URL flag must agree with
+    the documented TECHNICAL_URL regex on every fixture shape."""
+    import re
+
+    from glean_cetaf_rdfs_spark.operators.canonicalize import TECHNICAL_URL
+
+    cases = ["http://t.example/s?format=TTL", "http://t.example/s&format=X",
+             "http://t.example/sformat=X", "http://t.example/format=",
+             "http://t.example/s?fmt=TTL", "http://t.example/plain"]
+    for u in cases:
+        assert (("?format=" in u) or ("&format=" in u)) == \
+            bool(re.search(TECHNICAL_URL, u)), u
