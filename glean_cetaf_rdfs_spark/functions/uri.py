@@ -76,61 +76,39 @@ def _java_repl(repl: str) -> str:
 _P12_PAT = CANON_RULES[0][0]
 _P13_PAT = CANON_RULES[1][0]
 
-# the 8 single-character percent-encoding rules form the chain's tail
-# (CANON_RULES order: 6 alias rules, then the character rules)
-_PCT_START = 6
-# one character class covering EXACTLY the characters those 8 rules
-# rewrite — the dirty-row guard below must stay in sync with CANON_RULES
-_PCT_GUARD = "[ \\^`\\\\\\[\\]]"
-
-
-# substring PRECHECKS for the alias rules, keyed by CANON_RULES index:
-# a guard may fire on rows the regex then declines (":8080" contains
-# ":80" — harmless, the regex still decides), but can NEVER miss a row
-# the regex would rewrite. Each replaces a per-row regex-matcher pass
-# with a codegen'd indexOf for the overwhelmingly common clean rows
-# (chain A/B at 2M URLs: 0.313 → 0.272 s on top of the pct-guard win).
-_ALIAS_GUARDS: dict[int, "object"] = {
-    2: lambda c: c.contains(":443") | c.contains(":80"),  # port strip
-    3: lambda c: c.contains("wikidata.org/"),             # wikidata alias
-    4: lambda c: c.startswith("https://"),                # scheme canon
-    5: lambda c: c.contains("viaf.org/"),                 # VIAF strip
-}
-
 
 def canonicalize_col(col: Column) -> Column:
     """The same rule chain as Catalyst expressions (RegExpReplace nodes —
     all inside one WholeStageCodegen span, no shuffle, no Python).
 
-    Cheaper column forms where a full regexp pass is avoidable (the
-    reference guards its expensive seds with a grep precheck the same
-    way, fixRDF:368-369): the P12 backreference regex backtracks O(n²)
-    on every non-doubled URL, so it runs only when a second scheme
-    occurrence exists; P13 is a literal substring swap → ``F.replace``
-    (25% off the whole chain at 2M URLs, round 5); and the EIGHT
-    percent-encoding passes run only on rows matching one character-
-    class ``rlike`` — clean rows (the overwhelming majority) pay one
-    scan instead of eight (0.505 → 0.297 s per 2M URLs, round 6,
-    identical output incl. the dirty fixtures)."""
+    Two rules get cheaper column forms than a regexp (the reference
+    guards its expensive seds with a grep precheck the same way,
+    fixRDF:368-369): the P12 backreference regex backtracks O(n²) on
+    every non-doubled URL, so it runs only when a second scheme
+    occurrence exists; P13 is a literal substring swap → ``F.replace``.
+    Measured 25% off the whole chain at 2M URLs.
+
+    DO NOT add more ``when(guard, regexp_replace(...)).otherwise(...)``
+    prechecks here (round-6 lesson, measured then reverted): in the
+    pipeline's collapsed annotate projection, ``obj_canon``'s expression
+    tree is inlined into several outputs and conditional branches defeat
+    codegen subexpression elimination, so every extra ``when`` level
+    RE-EVALUATES the upstream chain per row. An isolated 2M-URL
+    microbench showed guards 40% faster, but in situ (2-core leg,
+    annotate noop at 40k convs) a percent-encoding guard DOUBLED the
+    stage (12.1 → 25.0 s) and per-rule alias guards nearly quadrupled it
+    (→ 46.3 s). The flat chain is the fast form where it actually runs."""
     out = col
-    for i, (pat, repl) in enumerate(CANON_RULES[:_PCT_START]):
-        guard = _ALIAS_GUARDS.get(i)
+    for pat, repl in CANON_RULES:
         if pat == _P12_PAT:
             fixed = F.regexp_replace(out, pat, _java_repl(repl))
             out = F.when(F.substring(out, 9, 1 << 30).contains("http"),
                          fixed).otherwise(out)
         elif pat == _P13_PAT:
             out = F.replace(out, F.lit("&amp;"), F.lit("&"))
-        elif guard is not None:
-            out = F.when(guard(out),
-                         F.regexp_replace(out, pat, _java_repl(repl))
-                         ).otherwise(out)
         else:
             out = F.regexp_replace(out, pat, _java_repl(repl))
-    encoded = out
-    for pat, repl in CANON_RULES[_PCT_START:]:
-        encoded = F.regexp_replace(encoded, pat, _java_repl(repl))
-    return F.when(out.rlike(_PCT_GUARD), encoded).otherwise(out)
+    return out
 
 
 def url_domain_py(url: str) -> str | None:

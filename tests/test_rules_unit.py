@@ -276,27 +276,28 @@ def test_generator_fixture_hash_frozen():
     assert h.hexdigest() == "38dffb56ff9a7a3d98e72bdc5039f893"
 
 
-def test_canonicalize_guard_covers_every_pct_rule(spark):
-    """Round-6: the percent-encoding tail of canonicalize_col runs behind
-    a one-scan character-class guard; this derives the guarded characters
-    from CANON_RULES itself so adding a rule without extending the guard
-    fails here (a URL dirty in ONLY the new character would silently skip
-    encoding), and proves column/Python parity on per-character fixtures."""
+def test_canonicalize_per_character_parity(spark):
+    """Column/Python parity of the percent-encoding rules on one fixture
+    per encoded character (derived from CANON_RULES itself, so a new
+    rule automatically gets a fixture), plus clean and multi-dirty
+    URLs. (Round 6 briefly ran this tail behind an rlike guard; the
+    guard was REVERTED after in-situ measurement — see the
+    canonicalize_col docstring — but the per-character fixtures keep
+    their value.)"""
     import re
 
     from pyspark.sql import functions as F
 
     from glean_cetaf_rdfs_spark.functions.uri import (
-        _PCT_GUARD, _PCT_START, CANON_RULES, canonicalize_col,
-        canonicalize_py)
+        CANON_RULES, canonicalize_col, canonicalize_py)
 
     chars = []
-    for pat, _repl in CANON_RULES[_PCT_START:]:
-        ch = re.sub(r"\\(.)", r"\1", pat)   # unescape the single char
-        assert len(ch) == 1, f"non-single-char rule in pct tail: {pat!r}"
-        chars.append(ch)
-        assert re.search(_PCT_GUARD, f"http://x/{ch}y"), \
-            f"guard misses {ch!r} — extend _PCT_GUARD"
+    for pat, repl in CANON_RULES:
+        if repl.startswith("%"):            # the single-char encoding rules
+            ch = re.sub(r"\\(.)", r"\1", pat)
+            assert len(ch) == 1, f"non-single-char encoding rule: {pat!r}"
+            chars.append(ch)
+    assert len(chars) == 8
     fixtures = [f"http://g.example/a{ch}b" for ch in chars]
     fixtures += ["http://clean.example/ok", "https://x.example:443/p q"]
     df = spark.createDataFrame([(u,) for u in fixtures], "u string")
@@ -306,10 +307,11 @@ def test_canonicalize_guard_covers_every_pct_rule(spark):
     assert got == want
 
 
-def test_canonicalize_alias_guards_parity(spark):
-    """Round-6: the alias rules run behind substring prechecks; parity
-    fixtures cover every guarded rule firing, plus lookalikes where the
-    guard fires but the regex correctly declines (:8080 contains :80)."""
+def test_canonicalize_alias_rules_parity(spark):
+    """Column/Python parity fixtures for every alias rule firing, plus
+    lookalikes that resemble a rule's trigger but must not rewrite
+    (:8080, embedded wikidata/viaf substrings). Written for the round-6
+    guard experiment; kept after its revert as plain rule coverage."""
     from pyspark.sql import functions as F
 
     from glean_cetaf_rdfs_spark.functions.uri import (
