@@ -83,31 +83,3 @@ def test_reports(spark, tiny_df):
     # 'type' lives only in the rdf-syntax-ns namespace here
     assert by_local["type"]["collision"] is False
     assert by_local["type"]["n_namespaces"] == 1
-
-
-def test_static_map_path_identical_to_join_path(spark):
-    """Round-6: the default-dictionary literal-map lookup must produce
-    exactly the rows of the broadcast-join formulation (which still runs
-    for caller-supplied dictionaries), including multiplicity — same
-    A/B-identity discipline as the adaptive-CC paths."""
-    from glean_cetaf_rdfs_spark.data.dictionary import entity_dictionary_df
-    from glean_cetaf_rdfs_spark.functions.extraction_rules import P_COLLECTION_CODE
-
-    rows = [
-        ("t1", V.P_MENTIONS, "http://lagu.herbaria.example/object/123", True),
-        ("t1", V.P_MENTIONS, "http://pi.herbaria.example/spec/1", True),
-        ("t1", V.P_MENTIONS, "http://pi.herbaria.example/spec/1", True),  # dup mention
-        ("t2", V.P_MENTIONS, "http://willing.herbaria.example/spec/9", True),
-        ("t2", V.P_MENTIONS, "http://tun.example/specimen/5", True),
-        ("t2", P_COLLECTION_CODE, "TUR-A", False),
-        ("t3", V.P_MENTIONS, "http://tun.example/specimen/6", True),  # no code
-        ("t3", V.P_MENTIONS, "http://unmatched.example/x", True),
-        ("t4", V.P_MENTIONS, "http://id.snsb.example/collections/7", True),
-    ]
-    t = spark.createDataFrame(
-        rows, "subj string, pred string, obj string, obj_is_iri boolean")
-    via_map = sorted(map(tuple, link_entities(t).collect()))
-    via_join = sorted(map(tuple,
-                          link_entities(t, entity_dictionary_df(spark)).collect()))
-    assert via_map == via_join
-    assert len(via_map) == 6  # 5 matched mentions incl. the duplicate + literal
